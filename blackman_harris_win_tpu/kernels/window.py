@@ -1,0 +1,170 @@
+"""Fused cosine-sum window generation (jnp reference path).
+
+The TPU re-expression of the reference's window cores
+(``src/hamming_win.vhd``, ``src/bh_win_{3,4,5,7}term.vhd``,
+``hls/windows/win_function.cpp:158-422``):
+
+- the reference's K-1 spatially replicated CORDIC instances become a batched
+  harmonic loop fused into one traced computation;
+- the per-instance phase counters stepping +k mod 2^PHI
+  (``src/bh_win_7term.vhd:176-197``) become the closed form
+  ``(k * n) mod 2^PHI`` — which is what makes distributed generation
+  communication-free: any shard computes its own phase slice
+  (SURVEY.md §5 "Long-context / sequence parallelism");
+- the elaboration-time ``win_selector`` dispatch becomes a name lookup; the
+  runtime HLS-style selector is :func:`win_function`.
+
+Two rounding modes (see ``WindowSpec``): "hls" (the coherent functional spec)
+and "rtl" (the VHDL cores' two round-half-up stages, raw AA-port semantics).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import CordicSpec, WindowSpec
+from ..core.fixedpoint import min_int_dtype
+from ..windows import catalog
+from . import cordic as _cordic
+
+
+def _int_lane(bits: int):
+    """Pick an integer lane dtype that can exactly hold `bits` bits, failing
+    loudly when int64 is requested but x64 is disabled (jnp would otherwise
+    *silently* truncate to int32 — observed on the TPU backend)."""
+    if bits <= 32:
+        return jnp.int32
+    if bits <= 64:
+        if not jax.config.read("jax_enable_x64"):
+            raise ValueError(
+                f"this configuration needs {bits}-bit integer lanes; enable "
+                "jax_enable_x64 or use the Pallas two-limb wide kernels "
+                "(kernels.pallas) which run on int32 lanes"
+            )
+        return jnp.int64
+    raise ValueError(f"{bits}-bit lanes unsupported; use the two-limb path")
+
+
+def _sin_cos_source(phase, spec: WindowSpec):
+    if spec.sin_type == "cordic":
+        flavor = "hls" if spec.rounding == "hls" else "dds"
+        cs = CordicSpec(spec.phase_width, spec.data_width, flavor, spec.precision)
+        return _cordic.cordic_sincos(phase, cs)
+    from . import taylor as _taylor
+
+    return _taylor.taylor_sincos(
+        phase, spec.phase_width, spec.data_width, spec.lut_size
+    )
+
+
+def window_samples(n, coeffs_q, spec: WindowSpec):
+    """Quantized window samples at indices ``n`` (any shape, ints).
+
+    ``coeffs_q``: integer coefficients (a0..aK), e.g. from
+    ``catalog.get(name).quantized(data_width)``.  Returns signed
+    data_width-bit values in an int32/int64 carrier.
+    """
+    pw, w = spec.phase_width, spec.data_width
+    if spec.rounding == "hls":
+        return _window_hls(n, coeffs_q, spec)
+    return _window_rtl(n, coeffs_q, spec)
+
+
+def _window_hls(n, coeffs_q, spec: WindowSpec):
+    """HLS semantics: ``w[n] = a0 - m1 + m2 - ...``,
+    ``m_k = (a_k * cos_k) >> (W-2)`` (hls/windows/win_function.cpp:361-375).
+
+    The product a_k(W-1 bits) * cos(W-2 bits magnitude) needs ~2W-3 bits:
+    computed in an int64 lane when 2W-3 > 31, else int32.
+    """
+    pw, w = spec.phase_width, spec.data_width
+    # Exact product width: |a_k| * 2^(w-2) (cos magnitude) + sign.
+    amax = max(abs(int(c)) for c in coeffs_q)
+    prod_bits = amax.bit_length() + (w - 2) + 1
+    pdt = _int_lane(max(prod_bits, w + 1))
+
+    phase_dt = _int_lane(pw + 3)
+    n = jnp.asarray(n, phase_dt)
+    mask = (1 << pw) - 1
+
+    acc = jnp.full(n.shape, int(coeffs_q[0]), pdt)
+    for k in range(1, len(coeffs_q)):
+        c, _ = _sin_cos_source((k * n) & mask, spec)
+        m = (jnp.asarray(coeffs_q[k], pdt) * c.astype(pdt)) >> (w - 2)
+        acc = acc - m if k % 2 == 1 else acc + m
+
+    if spec.overflow == "saturate":
+        out = jnp.clip(acc, -(1 << (w - 1)), (1 << (w - 1)) - 1)
+    else:  # wrap: win_t cast (ap_int<W>)
+        nb = jnp.iinfo(pdt).bits
+        out = (acc << (nb - w)) >> (nb - w)
+    return out
+
+
+def _window_rtl(n, coeffs_q, spec: WindowSpec):
+    """VHDL datapath semantics with raw AA-port coefficients
+    (src/bh_win_3term.vhd:257-306, src/hamming_win.vhd:194-231):
+    product slice [2W-2:W-2] -> W+1 bits, round-half-up off bit 0 -> W bits,
+    alternating adder tree in W+2 bits (W+1 for 2-term), final round-half-up
+    off bit 1 (bit 0 for 2-term) -> W bits."""
+    pw, w = spec.phase_width, spec.data_width
+    nterms = len(coeffs_q)
+    amax = max(abs(int(c)) for c in coeffs_q)
+    pdt = _int_lane(max(amax.bit_length() + (w - 2) + 1, w + 2))
+    nb = jnp.iinfo(pdt).bits
+    wrap = lambda v, width: (v << (nb - width)) >> (nb - width)
+
+    phase_dt = _int_lane(pw + 3)
+    n = jnp.asarray(n, phase_dt)
+    mask = (1 << pw) - 1
+
+    bs = []
+    for k in range(1, nterms):
+        c, _ = _sin_cos_source((k * n) & mask, spec)
+        p = jnp.asarray(coeffs_q[k], pdt) * c.astype(pdt)
+        r = wrap(p >> (w - 2), w + 1)  # mult_p(2W-2 downto W-2)
+        bs.append(wrap((r >> 1) + (r & 1), w))  # round-half-up off bit 0
+
+    a0 = jnp.asarray(coeffs_q[0], pdt)
+    if nterms == 2:  # hamming_win.vhd:211-231
+        pp = wrap(a0 - bs[0], w + 1)
+        out = wrap((pp >> 1) + (pp & 1), w)
+    else:
+        acc = jnp.broadcast_to(a0, n.shape).astype(pdt)
+        for k, b in enumerate(bs, start=1):
+            acc = acc - b if k % 2 == 1 else acc + b
+        pp = wrap(acc, w + 2)
+        out = wrap((pp >> 2) + ((pp >> 1) & 1), w)  # round off bit 1
+
+    if spec.overflow == "saturate":
+        out = jnp.clip(out, -(1 << (w - 1)), (1 << (w - 1)) - 1)
+    return out
+
+
+def make_window(name: str, spec: WindowSpec, coeffs=None):
+    """Generate the full 2^phase_width-point quantized window for a named
+    coefficient set (the user-facing ``win_selector`` equivalent,
+    src/win_selector.vhd:93-199 — but runtime-dispatchable)."""
+    d = catalog.get(name)
+    coeffs_q = coeffs if coeffs is not None else d.quantized(spec.data_width)
+    n = jnp.arange(spec.n)
+    return window_samples(n, coeffs_q, spec)
+
+
+def win_function(sel: int, n, spec: WindowSpec):
+    """HLS runtime selector semantics (hls/windows/win_function.cpp:380-422):
+    selector code -> window; unknown code -> zeros (win_empty)."""
+    if sel not in catalog.HLS_SEL:
+        return jnp.zeros(jnp.shape(n), min_int_dtype(spec.data_width))
+    d = catalog.get(catalog.HLS_SEL[sel])
+    return window_samples(n, d.quantized(spec.data_width), spec)
+
+
+def window_block(n0: int, block_len: int, coeffs_q, spec: WindowSpec):
+    """A contiguous block [n0, n0+block_len) of the window — the streaming /
+    sharded building block (no host ever needs the full window)."""
+    n = n0 + jnp.arange(block_len)
+    return window_samples(n, coeffs_q, spec)

@@ -1,0 +1,25 @@
+"""Test harness config: CPU backend with an 8-device virtual mesh + int64.
+
+Multi-chip sharding is validated on a virtual CPU mesh
+(``--xla_force_host_platform_device_count=8``) so sharded == single-device
+can be asserted bit-for-bit without TPU pod hardware (SURVEY.md §4).
+
+Note: this machine's sitecustomize registers the (single-client) axon TPU
+backend and forces ``jax_platforms="axon,cpu"``; tests must override the
+*config* (not just the env var) back to cpu-only, or every pytest run
+contends for the TPU tunnel.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
