@@ -1,0 +1,62 @@
+"""Communication-free sharded window generation.
+
+The key property inherited from the reference: a window sample depends only on
+its index, ``w[n] = sum_k ±a_k cos(2 pi k n / 2^PHI)`` with modular phase
+(the per-instance counters of src/bh_win_7term.vhd:176-197 are closed-form
+``(k*n) mod 2^PHI``).  Hence a 64M-point window shards over chips/hosts with
+**zero communication** for generation — each shard computes its own phase
+slice; no host ever materializes the full window (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..core.config import WindowSpec
+from ..kernels.window import window_samples
+
+
+def sharded_window(coeffs_q, spec: WindowSpec, mesh: Mesh, axis: str = "blocks"):
+    """Generate the full 2^phase_width window, sharded over ``axis``.
+
+    Returns a global jax.Array sharded along its (single) sample axis: shard i
+    holds samples [i*B, (i+1)*B).  No inter-device communication is emitted —
+    each device evaluates its own closed-form phase slice.
+    """
+    nshards = mesh.shape[axis]
+    if spec.n % nshards:
+        raise ValueError(f"window length {spec.n} not divisible by {nshards} shards")
+    block = spec.n // nshards
+    coeffs_q = tuple(int(c) for c in coeffs_q)
+
+    def shard_fn():
+        i = jax.lax.axis_index(axis)
+        n = i * block + jnp.arange(block, dtype=jnp.int32)
+        return window_samples(n, coeffs_q, spec)
+
+    fn = jax.jit(
+        shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(),
+            out_specs=P(axis),
+            check_rep=False,
+        )
+    )
+    return fn()
+
+
+def window_shard_fn(coeffs_q, spec: WindowSpec, axis: str, block: int):
+    """The per-shard generator for use *inside* a larger shard_mapped step:
+    returns this shard's [i*B, (i+1)*B) window block (no communication)."""
+    coeffs_q = tuple(int(c) for c in coeffs_q)
+
+    def gen():
+        i = jax.lax.axis_index(axis)
+        n = i * block + jnp.arange(block, dtype=jnp.int32)
+        return window_samples(n, coeffs_q, spec)
+
+    return gen

@@ -124,18 +124,24 @@ def cordic_hls(phase, spec: CordicSpec):
     ]
     gain = jnp.asarray(GAIN48_QUARTER >> (46 - w), dt)
 
-    un = jnp.asarray(phase, dt) & ((1 << pw) - 1)
-    q = un >> (pw - 2)
-    # init_t = signed(phi) & ~(3 << (pw-2)), wrapped to iw bits:
-    sphi = jnp.where(un >> (pw - 1) != 0, un - (1 << pw), un)
-    init_t = wrap_iw(sphi & ~(0x3 << (pw - 2)))
-    if pw - 1 < w:
-        init_z = wrap_iw(init_t << (w - pw + 2))
+    if pw + 1 > jnp.iinfo(dt).bits:
+        dt_ph = _carrier(pw + 1)
     else:
-        init_z = wrap_iw((init_t >> (pw - w)) << 2)
+        dt_ph = dt
+    un = jnp.asarray(phase, dt_ph) & ((1 << pw) - 1)
+    q = (un >> (pw - 2)).astype(dt)
+    # init_t = signed(phi) & ~(3 << (pw-2)) at full phase width (see
+    # model/golden.py cordic_hls for the ap_int<W+2> deviation note):
+    sphi = jnp.where(un >> (pw - 1) != 0, un - (1 << pw), un)
+    init_t = sphi & ~(0x3 << (pw - 2))
+    wrap_iw_ph = _wrapper(iw, jnp.iinfo(dt_ph).bits)
+    if pw - 1 < w:
+        init_z = wrap_iw_ph(init_t << (w - pw + 2)).astype(dt)
+    else:
+        init_z = wrap_iw_ph((init_t >> (pw - w)) << 2).astype(dt)
 
-    x = jnp.full_like(un, gain)
-    y = jnp.zeros_like(un)
+    x = jnp.full(un.shape, gain, dt)
+    y = jnp.zeros(un.shape, dt)
     x, y, _ = _rotate(x, y, init_z, luts, w, w - 1, wrap_iw, wrap_iw, False)
     out_c, out_s = x >> 2, y >> 2
     return _quadrant_fix_out(q, out_c, out_s, wrap_w)

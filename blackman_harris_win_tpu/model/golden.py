@@ -73,8 +73,14 @@ def cordic_hls(n: int, phase_width: int, data_width: int) -> tuple[int, int]:
     sphi = _as_signed_phase(n, pw)
     quadrant = (n & ((1 << pw) - 1)) >> (pw - 2)  # duo_t cast, cpp:86
 
-    # init_t = phi & ~(0x3 << (NPHASE-2)) in dat_t, cpp:88
-    init_t = wrap(sphi & ~(0x3 << (pw - 2)), iw)
+    # init_t = phi & ~(0x3 << (NPHASE-2)), win_function.cpp:88.  The reference
+    # stores it in dat_t = ap_int<W+2>, which silently destroys phase bits
+    # when NPHASE > NWIDTH+3 (a regime the reference never exercises; its
+    # configs have NPHASE < NWIDTH).  We keep init_t at full phase width —
+    # bit-identical to the reference whenever NPHASE <= NWIDTH+3, and the
+    # natural phase-decimation generalization (matching src/cordic_dds.vhd's
+    # correct wide-phase handling) beyond it.
+    init_t = sphi & ~(0x3 << (pw - 2))
     if pw - 1 < w:
         init_z = wrap(init_t << (w - pw + 2), iw)  # cpp:92
     else:

@@ -1,0 +1,112 @@
+"""Windowed overlap-save FFT spectral analyzer (Welch power spectrum).
+
+This is the downstream consumer the reference's window cores were built for
+(the win_selector front-end feeds "a user design (e.g. an FFT front-end)",
+SURVEY.md §1 L3).  The TPU-native pipeline:
+
+  sample stream -> overlapped frames -> on-the-fly quantized window apply
+  -> rFFT -> |.|^2 -> Welch average
+
+Sharded variant: the time axis shards over the mesh 'blocks' axis; frames
+straddling shard boundaries read the right neighbor's head via a ppermute
+halo (``dist.halo``); the Welch average is a psum over shards.  Channels
+shard over the 'channels' axis with no communication.  Window coefficients
+are generated closed-form on every shard (cheap, communication-free) — no
+window table is ever stored (the reference's defining feature, README.md:2-3).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..core.config import WindowSpec
+from ..dist.halo import with_right_halo
+from ..kernels.window import window_samples
+
+
+def window_scale(spec: WindowSpec, shift: int) -> float:
+    """Float scale of the quantized window: values are round(w * (2^(W-shift)-1))."""
+    return 1.0 / (2.0 ** (spec.data_width - shift) - 1.0)
+
+
+def frames_view(x, nfft: int, hop: int):
+    """Overlapped frames of the last axis: (..., T) -> (..., nF, nfft) with
+    frame m = x[..., m*hop : m*hop+nfft]; requires T >= nfft and exact tiling
+    ((T - nfft) % hop == 0)."""
+    t = x.shape[-1]
+    nf = (t - nfft) // hop + 1
+    starts = jnp.arange(nf) * hop
+    idx = starts[:, None] + jnp.arange(nfft)[None, :]
+    return x[..., idx]
+
+
+def welch_power(x, win, nfft: int, hop: int):
+    """Single-device Welch periodogram: mean |rfft(frame * win)|^2 over
+    frames.  x: (..., T) float; win: (nfft,) float."""
+    fr = frames_view(x, nfft, hop) * win
+    spec = jnp.fft.rfft(fr, axis=-1)
+    return jnp.mean(jnp.abs(spec) ** 2, axis=-2)
+
+
+def windowed_power_spectrum(x, name_or_coeffs, spec: WindowSpec, hop=None):
+    """Convenience single-chip analyzer: quantized window generated on the
+    fly, applied, Welch-averaged.  nfft = spec.n."""
+    from ..windows import catalog
+
+    nfft = spec.n
+    hop = hop or nfft // 2
+    if isinstance(name_or_coeffs, str):
+        d = catalog.get(name_or_coeffs)
+        coeffs_q, shift = d.quantized(spec.data_width), d.shift
+    else:
+        coeffs_q, shift = tuple(name_or_coeffs), 1
+    wq = window_samples(jnp.arange(nfft), coeffs_q, spec)
+    win = wq.astype(jnp.float32) * window_scale(spec, shift)
+    return welch_power(x, win, nfft, hop)
+
+
+def make_sharded_welch(
+    mesh: Mesh,
+    spec: WindowSpec,
+    coeffs_q,
+    shift: int,
+    nfft: int,
+    hop: int,
+):
+    """Build the sharded analyzer step.
+
+    Input: global x of shape (C, T), sharded P('channels', 'blocks').
+    Output: (C, nfft//2+1) Welch spectrum, sharded P('channels') and
+    replicated over 'blocks'.
+
+    Per shard: generate the window locally (no comm), frame its time chunk
+    with a circular right halo of nfft-hop samples (ppermute), FFT, and
+    pmean the power over the 'blocks' axis (psum collective).
+    """
+    coeffs_q = tuple(int(c) for c in coeffs_q)
+    halo = nfft - hop
+    scale = window_scale(spec, shift)
+
+    def shard_fn(x):  # x: (C_local, B)
+        b = x.shape[-1]
+        if b % hop:
+            raise ValueError(f"shard block {b} must be a multiple of hop {hop}")
+        wq = window_samples(jnp.arange(nfft, dtype=jnp.int32), coeffs_q, spec)
+        win = wq.astype(jnp.float32) * jnp.float32(scale)
+        xh = with_right_halo(x, halo, "blocks", circular=True)
+        p = welch_power(xh, win, nfft, hop)  # frames starting in this shard
+        return lax.pmean(p, "blocks")
+
+    return shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=P("channels", "blocks"),
+        out_specs=P("channels", None),
+        check_rep=False,
+    )
