@@ -1,0 +1,132 @@
+"""Two-limb int32 arithmetic for >32-bit fixed-point state on TPU lanes.
+
+The TPU VPU has no int64; wide state (the 34-bit ap_int<W+2> CORDIC registers
+at W=32, or the 48-bit cordic_dds48 state) is carried as (hi, lo) int32 pairs
+with radix 2^24: ``value = hi * 2^24 + lo``, ``lo in [0, 2^24)``, hi signed.
+
+This is the moral equivalent of the reference's wide multipliers built from
+two cascaded DSP48s with a 17-bit partial-product shift
+(``src/mults/mlt35x25_dsp48e1.vhd:81-127``): wide arithmetic decomposed onto
+narrow hardware units, carries rippled explicitly.
+
+All shift amounts are Python-static (loop-unrolled), so every branch below
+resolves at trace time.  Works identically on jnp arrays inside Pallas
+kernels and outside (used by tests).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+L = 24
+MASK = (1 << L) - 1
+
+
+def const(v: int, iw: int) -> tuple[int, int]:
+    """Split a Python int (two's complement value of iw bits) into static
+    (hi, lo) int constants."""
+    from ...core.fixedpoint import wrap as pywrap
+
+    v = pywrap(v, iw)
+    return (v >> L, v & MASK)
+
+
+def splat(c: tuple[int, int], shape, dtype=jnp.int32):
+    return (jnp.full(shape, c[0], dtype), jnp.full(shape, c[1], dtype))
+
+
+def from_int32(v):
+    """Lift an int32 array (value fits in 32 bits) to two-limb."""
+    return (v >> L, v & MASK)
+
+
+def to_int32(a):
+    """Low 32 bits of the value (int32 wrap) — the final word when iw<=32
+    output slicing already happened."""
+    return (a[0] << L) + a[1]
+
+
+def add(a, b):
+    s = a[1] + b[1]
+    return (a[0] + b[0] + (s >> L), s & MASK)
+
+
+def sub(a, b):
+    s = a[1] - b[1]
+    return (a[0] - b[0] + (s >> L), s & MASK)
+
+
+def neg(a):
+    s = -a[1]
+    return (-a[0] + (s >> L), s & MASK)
+
+
+def shr(a, k: int):
+    """Arithmetic shift right by static k (sign extends from hi)."""
+    if k == 0:
+        return a
+    if k < L:
+        lo = ((a[1] >> k) | (a[0] << (L - k))) & MASK
+        hi = a[0] >> k
+    else:
+        lo = (a[0] >> min(k - L, 31)) & MASK
+        hi = a[0] >> 31  # pure sign for k >= L (hi holds iw-L <= 24 bits)
+    return (hi, lo)
+
+
+def shl(a, k: int):
+    """Shift left by static k <= 31 (caller wraps afterwards)."""
+    if k == 0:
+        return a
+    if k >= 32:
+        raise ValueError("shl supports k <= 31")
+    if k < L:
+        lo = (a[1] << k) & MASK
+        hi = (a[0] << k) | (a[1] >> (L - k))
+    else:
+        lo = jnp.zeros_like(a[1])
+        hi = (a[0] << k) + (a[1] << (k - L))
+    return (hi, lo)
+
+
+def wrap(a, iw: int):
+    """Two's-complement wrap to iw bits (iw in (24, 56]): wraps hi to iw-24
+    bits; lo untouched."""
+    s = 32 - (iw - L)
+    return ((a[0] << s) >> s, a[1])
+
+
+def where(c, a, b):
+    return (jnp.where(c, a[0], b[0]), jnp.where(c, a[1], b[1]))
+
+
+def is_neg(a):
+    """Sign test; valid after wrap()."""
+    return a[0] < 0
+
+
+def mul_shift30(a, c, shift: int):
+    """Exact ``(a * c) >> shift`` for int32 a, c with |a|,|c| < 2^30 and
+    28 <= shift <= 32, result fitting int32 (mod 2^32 on overflow — matching
+    the reference's final win_t wrap).
+
+    15-bit-limb decomposition; every partial product fits int32:
+      a = a1*2^15 + a0,  c = c1*2^15 + c0  (a0, c0 unsigned 15-bit)
+      a*c = a1*c1*2^30 + (a1*c0 + a0*c1)*2^15 + a0*c0
+    Floor-exact for the shift (proof: carry layering, each stage < 2^15
+    residual).  This is the VPU analogue of mlt35x27_dsp48e2's two-DSP
+    partial-product cascade (src/mults/mlt35x27_dsp48e2.vhd:61-92).
+    """
+    a1, a0 = a >> 15, a & 0x7FFF
+    c1, c0 = c >> 15, c & 0x7FFF
+    t = a1 * c0 + a0 * c1 + ((a0 * c0) >> 15)
+    hi30 = a1 * c1 + (t >> 15)  # == (a*c) >> 30
+    if shift == 30:
+        return hi30
+    if shift > 30:
+        return hi30 >> (shift - 30)
+    # shift < 30: need low bits back; r = bits 15..29 of (t mod 2^15 <<15 | low)
+    low15 = (a0 * c0) & 0x7FFF
+    mid15 = t & 0x7FFF
+    # value = hi30*2^30 + mid15*2^15 + low15
+    return (hi30 << (30 - shift)) + ((mid15 << 15 | low15) >> shift)

@@ -1,0 +1,207 @@
+"""Fused Pallas TPU kernels: quantized cosine-sum window generation.
+
+The hot path of the framework.  One kernel evaluates, per output tile, the
+K-1 harmonic CORDIC rotations and the coefficient accumulation entirely in
+VMEM/registers — the reference's K-1 parallel CORDIC cores + multiplier +
+adder tree (src/bh_win_7term.vhd:200-423) collapsed into one
+lane-vectorized kernel where the sample axis fills the 8x128 VPU grid.
+
+Two datapaths, both bit-exact vs ``kernels/window.py`` (itself bit-exact vs
+``model/golden.py``):
+
+- ``_cos_i32``: single-limb int32 CORDIC for internal width W+2 <= 32.
+- ``_cos_wide``: two-limb (radix 2^24) CORDIC for W+2 in (32, 48] — the
+  -180 dB BH-7 W=32 regime — with 15-bit-limb wide products
+  (``limb.mul_shift30``), the VPU analogue of the reference's cascaded
+  DSP48 wide multipliers.
+
+Phases are closed-form (k*n) mod 2^PHI, so the kernel needs *no inputs* —
+only the block offset as a prefetched scalar; generation is
+communication-free and streams at arbitrary window length (16 .. 64M+).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...core.config import WindowSpec
+from ...core.fixedpoint import wrap as pywrap
+from ...core.luts import GAIN48_QUARTER, LUT_ATAN_PI
+from . import limb
+
+
+def _hls_luts(w: int):
+    """Quantized atan LUT of the HLS flavor (win_function.cpp:78)."""
+    iw = w + 2
+    return [
+        pywrap((LUT_ATAN_PI[i] >> (47 - w)) & 0xFFFFFFFFFF, iw)
+        for i in range(w - 1)
+    ]
+
+
+def _quadrant_and_z0(n, pw: int, w: int):
+    """Shared phase front-end: quadrant bits and the things init_z is built
+    from.  n: int32 sample indices (non-negative, any value; reduced mod
+    2^pw)."""
+    mask = (1 << pw) - 1
+    un = n & mask
+    q = un >> (pw - 2)
+    sphi = jnp.where(un >> (pw - 1) != 0, un - (1 << pw), un)
+    init_t = sphi & ~(0x3 << (pw - 2))
+    return q, init_t
+
+
+def _cos_i32(n, pw: int, w: int):
+    """Single-limb HLS-flavor CORDIC cosine (internal width w+2 <= 32).
+    Bit-exact vs kernels.cordic.cordic_hls."""
+    iw = w + 2
+    s = 32 - iw
+    wrap_iw = (lambda v: (v << s) >> s) if s else (lambda v: v)
+    luts = _hls_luts(w)
+    gain = GAIN48_QUARTER >> (46 - w)
+
+    q, init_t = _quadrant_and_z0(n, pw, w)
+    if pw - 1 < w:
+        z = wrap_iw(init_t << (w - pw + 2))
+    else:
+        z = wrap_iw((init_t >> (pw - w)) << 2)
+
+    x = jnp.full(n.shape, gain, jnp.int32)
+    y = jnp.zeros(n.shape, jnp.int32)
+    for k in range(w):
+        neg = z < 0
+        ys, xs = y >> k, x >> k
+        x, y = (
+            wrap_iw(jnp.where(neg, x + ys, x - ys)),
+            wrap_iw(jnp.where(neg, y - xs, y + xs)),
+        )
+        if k < w - 1:
+            lk = luts[k]
+            z = wrap_iw(jnp.where(neg, z + lk, z - lk))
+
+    out_c, out_s = x >> 2, y >> 2
+    c = jnp.where(
+        q == 0, out_c, jnp.where(q == 1, -out_s, jnp.where(q == 2, -out_c, out_s))
+    )
+    sw = 32 - w
+    return (c << sw) >> sw  # win_t wrap
+
+
+def _cos_wide(n, pw: int, w: int):
+    """Two-limb HLS-flavor CORDIC cosine for internal width w+2 in (32, 48].
+    Returns int32 (w <= 32 output)."""
+    iw = w + 2
+    luts = [limb.const(v, iw) for v in _hls_luts(w)]
+    gain = limb.const(GAIN48_QUARTER >> (46 - w), iw)
+
+    q, init_t = _quadrant_and_z0(n, pw, w)  # init_t: int32, |.| < 2^(pw-1)
+    if pw - 1 < w:
+        z = limb.wrap(limb.shl(limb.from_int32(init_t), w - pw + 2), iw)
+    else:
+        z = limb.wrap(limb.shl(limb.from_int32(init_t >> (pw - w)), 2), iw)
+
+    x = limb.splat(gain, n.shape)
+    y = limb.splat((0, 0), n.shape)
+    for k in range(w):
+        neg = limb.is_neg(z)
+        ys, xs = limb.shr(y, k), limb.shr(x, k)
+        x_new = limb.where(neg, limb.add(x, ys), limb.sub(x, ys))
+        y_new = limb.where(neg, limb.sub(y, xs), limb.add(y, xs))
+        x, y = limb.wrap(x_new, iw), limb.wrap(y_new, iw)
+        if k < w - 1:
+            lk = limb.splat(luts[k], n.shape)
+            z = limb.wrap(limb.where(neg, limb.add(z, lk), limb.sub(z, lk)), iw)
+
+    out_c = limb.shr(x, 2)
+    out_s = limb.shr(y, 2)
+    c = limb.where(
+        q == 0,
+        out_c,
+        limb.where(
+            q == 1, limb.neg(out_s), limb.where(q == 2, limb.neg(out_c), out_s)
+        ),
+    )
+    sw = 32 - w
+    return (limb.to_int32(c) << sw) >> sw  # win_t wrap (w <= 32)
+
+
+def window_values(n, coeffs_q, spec: WindowSpec):
+    """Window samples at int32 indices ``n`` using int32-lane datapaths only
+    (Pallas-safe; also usable as a plain jnp function).  HLS rounding.
+
+    Dispatches single-limb vs two-limb per the exact product/state widths.
+    """
+    if spec.rounding != "hls":
+        raise NotImplementedError("Pallas path implements HLS rounding")
+    pw, w = spec.phase_width, spec.data_width
+    coeffs_q = tuple(int(c) for c in coeffs_q)
+    amax = max(abs(c) for c in coeffs_q)
+    mask = (1 << pw) - 1
+
+    wide_state = (w + 2) > 32
+    wide_prod = (amax.bit_length() + (w - 2) + 1) > 32
+    cos_fn = _cos_wide if wide_state else _cos_i32
+
+    acc = jnp.full(n.shape, coeffs_q[0], jnp.int32)
+    for k in range(1, len(coeffs_q)):
+        c = cos_fn((k * n) & mask, pw, w)
+        if wide_prod:
+            m = limb.mul_shift30(jnp.int32(coeffs_q[k]), c, w - 2)
+        else:
+            m = (coeffs_q[k] * c) >> (w - 2)
+        acc = acc - m if k % 2 == 1 else acc + m
+
+    if spec.overflow == "saturate" and w < 32:
+        return jnp.clip(acc, -(1 << (w - 1)), (1 << (w - 1)) - 1)
+    if w < 32:
+        sw = 32 - w
+        return (acc << sw) >> sw
+    return acc  # w == 32: int32 wrap IS the win_t cast
+
+
+def _kernel(n0_ref, out_ref, *, coeffs_q, spec, rows):
+    i = pl.program_id(0)
+    base = n0_ref[0] + i * rows * 128
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+    n = base + row * 128 + col
+    out_ref[:] = window_values(n, coeffs_q, spec)
+
+
+def pallas_window_block(
+    coeffs_q,
+    spec: WindowSpec,
+    n0,
+    length: int,
+    rows: int = 256,
+    interpret: bool = False,
+):
+    """Generate window samples [n0, n0+length) with the fused Pallas kernel.
+
+    length must be a multiple of rows*128.  Returns int32 (length,).
+    ``interpret=True`` runs the same kernel in interpreter mode (CPU tests).
+    """
+    tile = rows * 128
+    if length % tile:
+        raise ValueError(f"length {length} must be a multiple of {tile}")
+    grid = length // tile
+    coeffs_q = tuple(int(c) for c in coeffs_q)
+
+    kern = functools.partial(_kernel, coeffs_q=coeffs_q, spec=spec, rows=rows)
+    out = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(grid,),
+            in_specs=[],
+            out_specs=pl.BlockSpec((rows, 128), lambda i, n0: (i, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((grid * rows, 128), jnp.int32),
+        interpret=interpret,
+    )(jnp.atleast_1d(jnp.asarray(n0, jnp.int32)))
+    return out.reshape(length)
