@@ -243,6 +243,83 @@ def cordic_dds48(phase, spec: CordicSpec):
     return wrap_w(x >> (48 - w)), wrap_w(y >> (48 - w))
 
 
+def _atan2_core(y, x, input_width: int, angle_width: int, precision: int):
+    """Shared vectoring-mode engine (src/cordic_atan2.vhd:146-196): returns
+    (quadrant, dat_phi) where dat_phi ~ -atan(|y|/|x|) * 2^(AW-1)/pi."""
+    aw, p = angle_width, precision
+    iw_int = aw + p
+    dt = _carrier(max(iw_int, input_width + 1))
+    nbits = jnp.iinfo(dt).bits
+    wrap_iw = _wrapper(iw_int, nbits)
+    wrap_aw = _wrapper(aw, nbits)
+
+    luts = [jnp.asarray(LUT_ATAN_PI[i] >> (49 - aw - p), dt) for i in range(aw - 1)]
+
+    x = jnp.asarray(x, dt)
+    y = jnp.asarray(y, dt)
+    sx = (x >> (input_width - 1)) & 1
+    sy = (y >> (input_width - 1)) & 1
+    quadrant = (sx << 1) | sy
+
+    mask_lo = (1 << (aw - 1)) - 1
+    xx = (x ^ (-sx)) & mask_lo  # one's-complement abs, low AW-1 bits
+    yy = (y ^ (-sy)) & mask_lo
+
+    z = jnp.zeros_like(xx)
+    for i in range(aw - 1):
+        pos = yy >= 0
+        ys, xs = yy >> i, xx >> i
+        xx, yy = (
+            wrap_iw(jnp.where(pos, xx + ys, xx - ys)),
+            wrap_iw(jnp.where(pos, yy - xs, yy + xs)),
+        )
+        z = wrap_iw(jnp.where(pos, z - luts[i], z + luts[i]))
+
+    return quadrant, wrap_aw(z >> p), wrap_aw
+
+
+def cordic_atan2(y, x, input_width: int, angle_width: int, precision: int = 1):
+    """Bit-exact vectorized ``src/cordic_atan2.vhd``.  Angle scale:
+    pi == 2^(AW-1).
+
+    Faithful to the reference's quadrant fix (vhd:204-219), whose output
+    convention is NON-standard: Q1(x,y>0) -> -theta; Q2 -> pi-theta;
+    Q3 -> pi/2-theta; Q4 -> theta-3pi/2.  Use :func:`atan2_fixed` for the
+    standard atan2(y, x) convention with the same datapath.
+    """
+    q, dat_phi, wrap_aw = _atan2_core(y, x, input_width, angle_width, precision)
+    phi_pi = 1 << (angle_width - 2)
+    out = jnp.where(
+        q == 0,
+        dat_phi,
+        jnp.where(
+            q == 1,
+            dat_phi + phi_pi,
+            jnp.where(q == 2, -dat_phi, dat_phi - phi_pi),
+        ),
+    )
+    return wrap_aw(out)
+
+
+def atan2_fixed(y, x, input_width: int, angle_width: int, precision: int = 1):
+    """Standard-convention atan2(y, x) on the reference datapath: returns
+    the angle in (-pi, pi], scaled pi == 2^(AW-1).  Same iteration core as
+    :func:`cordic_atan2`; only the quadrant reconstruction differs."""
+    q, dat_phi, wrap_aw = _atan2_core(y, x, input_width, angle_width, precision)
+    base = -dat_phi  # +atan(|y|/|x|)
+    pi_u = 1 << (angle_width - 1)
+    out = jnp.where(
+        q == 0,
+        base,
+        jnp.where(
+            q == 1,
+            -base,
+            jnp.where(q == 2, pi_u - base, base - pi_u),
+        ),
+    )
+    return wrap_aw(out)
+
+
 def cordic_scaled(phase, spec: CordicSpec):
     """Empirical-width flavor (src/cordic_dds_scaled.vhd): x/y width from
     SEL_SIZE, z width max(SIZE, PW), input-side pre-rotation."""

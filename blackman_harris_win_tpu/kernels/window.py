@@ -48,16 +48,34 @@ def _int_lane(bits: int):
     raise ValueError(f"{bits}-bit lanes unsupported; use the two-limb path")
 
 
-def _sin_cos_source(phase, spec: WindowSpec):
+def _harmonic_cos(n, k: int, spec: WindowSpec):
+    """cos of harmonic k at sample indices n.
+
+    CORDIC: closed-form phase (k*n) mod 2^PW into one generator (amplitude
+    2^(W-2)).  TAYLOR: the reference doubles frequency by instantiating the
+    generator one phase bit narrower (src/bh_win_3term.vhd:221-233), so
+    harmonic k=2^j uses taylor at PW-j with phase n mod 2^(PW-j) (amplitude
+    2^(W-1)); only 2/3-term windows support TAYLOR, matching
+    src/win_selector.vhd:93-147.
+    """
+    pw = spec.phase_width
     if spec.sin_type == "cordic":
         flavor = "hls" if spec.rounding == "hls" else "dds"
-        cs = CordicSpec(spec.phase_width, spec.data_width, flavor, spec.precision)
-        return _cordic.cordic_sincos(phase, cs)
+        cs = CordicSpec(pw, spec.data_width, flavor, spec.precision)
+        c, _ = _cordic.cordic_sincos((k * n) & ((1 << pw) - 1), cs)
+        return c
     from . import taylor as _taylor
 
-    return _taylor.taylor_sincos(
-        phase, spec.phase_width, spec.data_width, spec.lut_size
+    if k not in (1, 2):
+        raise ValueError(
+            "TAYLOR sin_type supports 2/3-term windows only "
+            "(src/win_selector.vhd: 4/5/7-term cores are CORDIC-only)"
+        )
+    pwk = pw - (k - 1)
+    c, _ = _taylor.taylor_sincos(
+        n & ((1 << pwk) - 1), pwk, spec.data_width, spec.lut_size
     )
+    return c
 
 
 def window_samples(n, coeffs_q, spec: WindowSpec):
@@ -81,9 +99,11 @@ def _window_hls(n, coeffs_q, spec: WindowSpec):
     computed in an int64 lane when 2W-3 > 31, else int32.
     """
     pw, w = spec.phase_width, spec.data_width
-    # Exact product width: |a_k| * 2^(w-2) (cos magnitude) + sign.
+    # Exact product width: |a_k| * cos magnitude + sign (cos amplitude is
+    # 2^(w-2) for CORDIC, 2^(w-1) for the full-scale Taylor generator).
+    cos_bits = (w - 2) if spec.sin_type == "cordic" else (w - 1)
     amax = max(abs(int(c)) for c in coeffs_q)
-    prod_bits = amax.bit_length() + (w - 2) + 1
+    prod_bits = amax.bit_length() + cos_bits + 1
     pdt = _int_lane(max(prod_bits, w + 1))
 
     phase_dt = _int_lane(pw + 3)
@@ -91,9 +111,10 @@ def _window_hls(n, coeffs_q, spec: WindowSpec):
     mask = (1 << pw) - 1
 
     acc = jnp.full(n.shape, int(coeffs_q[0]), pdt)
+    shift = w - 2 if spec.sin_type == "cordic" else w - 1
     for k in range(1, len(coeffs_q)):
-        c, _ = _sin_cos_source((k * n) & mask, spec)
-        m = (jnp.asarray(coeffs_q[k], pdt) * c.astype(pdt)) >> (w - 2)
+        c = _harmonic_cos(n, k, spec)
+        m = (jnp.asarray(coeffs_q[k], pdt) * c.astype(pdt)) >> shift
         acc = acc - m if k % 2 == 1 else acc + m
 
     if spec.overflow == "saturate":
@@ -112,8 +133,9 @@ def _window_rtl(n, coeffs_q, spec: WindowSpec):
     off bit 1 (bit 0 for 2-term) -> W bits."""
     pw, w = spec.phase_width, spec.data_width
     nterms = len(coeffs_q)
+    cos_bits = (w - 2) if spec.sin_type == "cordic" else (w - 1)
     amax = max(abs(int(c)) for c in coeffs_q)
-    pdt = _int_lane(max(amax.bit_length() + (w - 2) + 1, w + 2))
+    pdt = _int_lane(max(amax.bit_length() + cos_bits + 1, w + 2))
     nb = jnp.iinfo(pdt).bits
     wrap = lambda v, width: (v << (nb - width)) >> (nb - width)
 
@@ -123,7 +145,7 @@ def _window_rtl(n, coeffs_q, spec: WindowSpec):
 
     bs = []
     for k in range(1, nterms):
-        c, _ = _sin_cos_source((k * n) & mask, spec)
+        c = _harmonic_cos(n, k, spec)
         p = jnp.asarray(coeffs_q[k], pdt) * c.astype(pdt)
         r = wrap(p >> (w - 2), w + 1)  # mult_p(2W-2 downto W-2)
         bs.append(wrap((r >> 1) + (r & 1), w))  # round-half-up off bit 0

@@ -315,6 +315,163 @@ def cordic_scaled(n: int, phase_width: int, data_width: int) -> tuple[int, int]:
 
 
 # ---------------------------------------------------------------------------
+# Vectoring mode: cordic_atan2 (src/cordic_atan2.vhd)
+# ---------------------------------------------------------------------------
+
+def cordic_atan2(
+    y: int,
+    x: int,
+    input_width: int,
+    angle_width: int,
+    precision: int = 1,
+) -> int:
+    """Bit-exact model of ``src/cordic_atan2.vhd`` (vectoring mode).
+
+    Returns the signed ``angle_width``-bit angle word; scale: pi == 2^(AW-1)
+    (PHI_PI = 2^(AW-2) is pi/2, vhd:116).
+
+    Faithful quirks of the reference:
+    - |x|,|y| via XOR-with-sign (one's-complement abs, vhd:146-156) and only
+      the low ANGLE_WIDTH-1 bits of the inputs enter the datapath;
+    - z accumulates the *applied* rotation, so the magnitude before quadrant
+      fix is -atan(|y|/|x|);
+    - quadrant fix: q00 -> z, q01 -> z+pi/2, q10 -> -z, q11 -> z-pi/2
+      (vhd:204-219).  Net convention (verified in tests):
+      PHI_DT ~ -arg(x, y) * 2^(AW-1) / pi for x >= 0, with the half-pi
+      offsets placing x<0 results in the outer quadrants.
+    """
+    aw, p = angle_width, precision
+    iw_int = aw + p
+
+    lut = [LUT_ATAN_PI[i] >> (49 - aw - p) for i in range(aw - 1)]
+
+    sx = (x >> (input_width - 1)) & 1
+    sy = (y >> (input_width - 1)) & 1
+    quadrant = (sx << 1) | sy
+
+    mask_lo = (1 << (aw - 1)) - 1
+    ix = (x ^ (-sx)) & mask_lo  # bitwise xor with replicated sign bit
+    iy = (y ^ (-sy)) & mask_lo
+
+    xx, yy, z = ix, iy, 0
+    for i in range(aw - 1):
+        if yy >= 0:
+            xx, yy = (
+                wrap(xx + (yy >> i), iw_int),
+                wrap(yy - (xx >> i), iw_int),
+            )
+            z = wrap(z - lut[i], iw_int)
+        else:
+            xx, yy = (
+                wrap(xx - (yy >> i), iw_int),
+                wrap(yy + (xx >> i), iw_int),
+            )
+            z = wrap(z + lut[i], iw_int)
+
+    dat_phi = wrap(z >> p, aw)
+    phi_pi = 1 << (aw - 2)
+
+    if quadrant == 0:
+        out = dat_phi
+    elif quadrant == 1:
+        out = dat_phi + phi_pi
+    elif quadrant == 2:
+        out = -dat_phi
+    else:
+        out = dat_phi - phi_pi
+    return wrap(out, aw)
+
+
+# ---------------------------------------------------------------------------
+# Taylor fast path (src/taylor_sincos.vhd + src/tay1_order.vhd)
+# ---------------------------------------------------------------------------
+
+def taylor_rom_entry(ii: int, lut_size: int, data_width: int) -> tuple[int, int]:
+    """Quarter-wave ROM entry ii: (cos, sin) = round((2^(W-1)-1) * cos/sin
+    (ii*pi/(2*2^LUT_SIZE))) — src/taylor_sincos.vhd:91-109 (VHDL INTEGER()
+    rounds to nearest; entries are non-negative)."""
+    import math
+
+    ang = ii * math.pi / (2.0 * (1 << lut_size))
+    amp = 2.0 ** (data_width - 1) - 1.0
+    return (int(math.floor(amp * math.cos(ang) + 0.5)),
+            int(math.floor(amp * math.sin(ang) + 0.5)))
+
+
+def tay1_correction(
+    cos_v: int, sin_v: int, acnt: int, stage: int, val_shift: int, data_width: int
+) -> tuple[int, int]:
+    """1st-order Taylor correction (src/tay1_order.vhd):
+    cos' = cos - (mpi*sin) >> XSHIFT, sin' = sin + (mpi*cos) >> XSHIFT,
+    mpi = round(pi * 2^(17-STAGE)) * acnt, XSHIFT = 19 + VAL_SHIFT
+    (tay1_order.vhd:112,130-147).
+
+    Width-dependent arithmetic (faithful):
+    - W < 19: 48-bit DSP accumulate (C +/- A*B) then slice
+      [XSHIFT+W-1 : XSHIFT] (wrap, no saturation) — vhd:180-504;
+    - W >= 19: product sliced to W bits first, W-bit add/sub (wrap), then
+      negative results clamp to 2^(W-1)-1 ("scale overflow", vhd:601-617).
+    """
+    import math
+
+    w = data_width
+    xshift = 19 + val_shift
+    mpi = int(math.floor(math.pi * 2.0 ** (17 - stage) + 0.5)) * acnt
+
+    if w < 19:
+        cos_p = (cos_v << xshift) - mpi * sin_v  # 48-bit DSP P register
+        sin_p = (sin_v << xshift) + mpi * cos_v
+        return wrap(cos_p >> xshift, w), wrap(sin_p >> xshift, w)
+
+    bb_sin = wrap((mpi * sin_v) >> xshift, w)
+    bb_cos = wrap((mpi * cos_v) >> xshift, w)
+    cos_p = wrap(cos_v - bb_sin, w)
+    sin_p = wrap(sin_v + bb_cos, w)
+    clamp = (1 << (w - 1)) - 1
+    return (clamp if cos_p < 0 else cos_p, clamp if sin_p < 0 else sin_p)
+
+
+def taylor_sincos(
+    n: int, phase_width: int, data_width: int, lut_size: int
+) -> tuple[int, int]:
+    """Bit-exact model of src/taylor_sincos.vhd: quarter-wave LUT plus
+    optional 1st-order Taylor interpolation, output-side quadrant fix.
+    Amplitude ~2^(W-1) (full scale, unlike the CORDIC flavors' 2^(W-2)).
+
+    Three regimes on PW-LS (taylor_sincos.vhd:157-221):
+      < 2 : LUT address = phase bits top-aligned (low zeros), pure LUT;
+      = 2 : exact quarter-wave LUT, no interpolation;
+      > 2 : LUT address = high bits, residual counter -> tay1 correction
+            with STAGE = PW-LS-3, VAL_SHIFT = LS.
+    """
+    pw, w, ls = phase_width, data_width, lut_size
+    cnt = n & ((1 << pw) - 1)
+    quadrant = cnt >> (pw - 2)
+    ph = cnt & ((1 << (pw - 2)) - 1)  # cnt(PW-3 downto 0)
+
+    if pw - ls < 2:
+        addr = ph << (ls - pw + 2)  # top-aligned (vhd:159-160)
+        mem_cos, mem_sin = taylor_rom_entry(addr, ls, w)
+    elif pw - ls == 2:
+        addr = ph
+        mem_cos, mem_sin = taylor_rom_entry(addr, ls, w)
+    else:
+        stage = pw - ls - 3
+        addr = ph >> (pw - ls - 2)  # cnt(PW-3 downto PW-LS-2), vhd:190
+        acnt = ph & ((1 << (pw - ls - 2)) - 1)  # vhd:191
+        rc, rs = taylor_rom_entry(addr, ls, w)
+        mem_cos, mem_sin = tay1_correction(rc, rs, acnt, stage, ls, w)
+
+    if quadrant == 0:
+        return mem_cos, mem_sin
+    if quadrant == 1:
+        return wrap(-mem_sin, w), mem_cos
+    if quadrant == 2:
+        return wrap(-mem_cos, w), wrap(-mem_sin, w)
+    return mem_sin, wrap(-mem_cos, w)
+
+
+# ---------------------------------------------------------------------------
 # Windows — HLS semantics (hls/windows/win_function.cpp:158-422)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,108 @@
+"""Taylor fast path: bit-exact vs golden model, float accuracy, windows.
+
+Mirrors the reference's tb_windows methodology (src/tb/tb_windows.vhd:305-350):
+the interpolating generator (LUT_SIZE < PHASE_WIDTH-2) is compared against an
+exact-LUT instance (LUT_SIZE = PHASE_WIDTH-2, no interpolation error) of the
+same entity, plus float-reference bounds.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from blackman_harris_win_tpu.core.config import WindowSpec
+from blackman_harris_win_tpu.kernels import taylor as kt
+from blackman_harris_win_tpu.kernels import window as kw
+from blackman_harris_win_tpu.model import golden
+from blackman_harris_win_tpu.windows import catalog
+
+
+class TestBitExactVsGolden:
+    @pytest.mark.parametrize(
+        "pw,w,ls",
+        [
+            (10, 16, 8),   # interpolating (pw-ls > 2)
+            (11, 16, 9),   # interpolating, tb_windows config
+            (10, 16, 9),   # pw-ls == 2? no: 1 -> top-aligned pure LUT
+            (12, 10, 10),  # pw-ls == 2: exact LUT
+            (14, 24, 10),  # W >= 19 datapath (product-slice + clamp)
+            (12, 32, 9),   # widest output
+        ],
+    )
+    def test_matches_scalar_model(self, pw, w, ls):
+        n = np.arange(0, 1 << pw, max(1, (1 << pw) // 1024))
+        n = np.unique(np.concatenate([n, [(1 << pw) - 1, (1 << (pw - 1))]]))
+        c, s = kt.taylor_sincos(n, pw, w, ls)
+        for i, p in enumerate(n):
+            gc, gs = golden.taylor_sincos(int(p), pw, w, ls)
+            assert int(c[i]) == gc, (pw, w, ls, int(p))
+            assert int(s[i]) == gs, (pw, w, ls, int(p))
+
+    def test_lut_size_validation(self):
+        with pytest.raises(ValueError):
+            kt.taylor_sincos(np.arange(4), 10, 16, 10)
+
+
+class TestAccuracy:
+    def test_exact_lut_is_exact(self):
+        # LUT_SIZE = PW-2: every sample is a ROM entry -> error <= 1 LSB
+        pw, w = 12, 16
+        n = np.arange(1 << pw)
+        c, s = kt.taylor_sincos(n, pw, w, pw - 2)
+        th = 2 * math.pi * n / (1 << pw)
+        amp = 2.0 ** (w - 1) - 1.0
+        assert np.abs(np.asarray(c) - np.round(amp * np.cos(th))).max() <= 1
+        assert np.abs(np.asarray(s) - np.round(amp * np.sin(th))).max() <= 1
+
+    def test_interpolation_vs_exact_reference(self):
+        # tb_windows style: approx (LUT_SIZE=10) vs exact (LUT_SIZE=PW-2)
+        pw, w = 14, 16
+        n = np.arange(0, 1 << pw, 5)
+        ca, _ = kt.taylor_sincos(n, pw, w, 10)
+        ce, _ = kt.taylor_sincos(n, pw, w, pw - 2)
+        diff = np.abs(np.asarray(ca, np.int64) - np.asarray(ce, np.int64))
+        # 1st-order Taylor residual at LUT_SIZE=10: delta^2/2 ~ 2^-22 of
+        # full scale -> well under a few LSB at W=16
+        assert diff.max() <= 4, diff.max()
+
+    @pytest.mark.parametrize("w,ls,bound_lsb", [(16, 10, 3), (24, 12, 16)])
+    def test_float_error_bound(self, w, ls, bound_lsb):
+        pw = 14
+        n = np.arange(0, 1 << pw, 7)
+        c, s = kt.taylor_sincos(n, pw, w, ls)
+        th = 2 * math.pi * n / (1 << pw)
+        amp = 2.0 ** (w - 1) - 1.0
+        err = np.abs(np.asarray(c, np.float64) - amp * np.cos(th))
+        assert err.mean() < bound_lsb, err.mean()
+
+
+class TestTaylorWindows:
+    @pytest.mark.parametrize("name", ["hamming", "hann", "bh3_hls", "blackman"])
+    def test_window_float_rms(self, name):
+        # TAYLOR sin-source windows (2/3-term only), full-scale amplitude:
+        # same RMS acceptance as the reference's window test
+        pw, w = 12, 16
+        spec = WindowSpec(pw, w, sin_type="taylor", lut_size=10,
+                          overflow="saturate")
+        N = 1 << pw
+        out = np.asarray(kw.make_window(name, spec), np.float64)
+        gold = catalog.golden_quantized_window(name, np.arange(N), N, w)
+        rms = np.sqrt(np.sum((out - gold) ** 2)) / N
+        assert rms < 10, (name, rms)
+
+    def test_taylor_rejects_4term(self):
+        spec = WindowSpec(12, 16, sin_type="taylor")
+        with pytest.raises(ValueError):
+            kw.make_window("bh4", spec)
+
+    def test_rtl_taylor_scaling_is_full_scale(self):
+        # With TAYLOR (amplitude 2^(W-1)) the RTL datapath is properly
+        # scaled: peak of hamming ~ (a0+a1) * 2^(W-1) / 2 after final round.
+        pw, w = 12, 16
+        spec = WindowSpec(pw, w, sin_type="taylor", rounding="rtl",
+                          lut_size=10, overflow="saturate")
+        out = np.asarray(kw.make_window("hamming", spec), np.float64)
+        peak = out.max()
+        # final round in 2-term RTL divides by 2: peak ~ 2^(W-1)/2
+        assert abs(peak - 2.0 ** (w - 2)) < 2 ** (w - 6), peak
