@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.config import WindowSpec
@@ -43,7 +43,6 @@ def sharded_window(coeffs_q, spec: WindowSpec, mesh: Mesh, axis: str = "blocks")
             mesh=mesh,
             in_specs=(),
             out_specs=P(axis),
-            check_rep=False,
         )
     )
     return fn()

@@ -22,7 +22,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.config import WindowSpec
@@ -108,5 +108,4 @@ def make_sharded_welch(
         mesh=mesh,
         in_specs=P("channels", "blocks"),
         out_specs=P("channels", None),
-        check_rep=False,
     )
