@@ -1,0 +1,119 @@
+"""Selector front-end, spectral utils, streaming checkpoint/resume."""
+
+import numpy as np
+import pytest
+
+from blackman_harris_win_tpu.core.config import WindowSpec
+from blackman_harris_win_tpu.kernels.window import make_window, window_samples
+from blackman_harris_win_tpu.utils.spectral import (
+    power_spectrum_db,
+    required_width_for_sidelobe,
+    tone_spectral_floor_db,
+    window_sidelobe_db,
+)
+from blackman_harris_win_tpu.utils.streaming import StreamCursor, stream_blocks
+from blackman_harris_win_tpu.windows import catalog
+from blackman_harris_win_tpu.windows.selector import WinSelector
+
+
+class TestWinSelector:
+    def test_default_matches_make_window(self):
+        sel = WinSelector("BH4TERM", phi_width=10, dat_width=17)
+        got = np.asarray(sel())
+        want = np.asarray(
+            make_window("bh4", WindowSpec(10, 17, overflow="saturate"))
+        )
+        np.testing.assert_array_equal(got, want)
+
+    def test_coefficient_ports_are_data(self):
+        # Nuttall through the BH4TERM core via AA ports (win_selector
+        # forwards AA0..AA6 as runtime data, src/win_selector.vhd:75-81)
+        aa = catalog.get("nuttall").quantized(17)
+        sel = WinSelector("BH4TERM", 10, 17, aa=aa)
+        got = np.asarray(sel())
+        want = np.asarray(
+            make_window("nuttall", WindowSpec(10, 17, overflow="saturate"))
+        )
+        np.testing.assert_array_equal(got, want)
+
+    def test_taylor_only_for_2_3_term(self):
+        WinSelector("HAMMING", 12, 16, sin_type="TAYLOR")  # fine
+        with pytest.raises(ValueError):
+            WinSelector("BH4TERM", 12, 16, sin_type="TAYLOR")
+
+    def test_bad_win_type(self):
+        with pytest.raises(ValueError):
+            WinSelector("KAISER", 10, 16)
+
+    def test_wrong_port_count(self):
+        with pytest.raises(ValueError):
+            WinSelector("BH3TERM", 10, 16, aa=(1, 2))
+
+    def test_indexed_call(self):
+        sel = WinSelector("HAMMING", 10, 16)
+        full = np.asarray(sel())
+        part = np.asarray(sel(np.arange(100, 110)))
+        np.testing.assert_array_equal(part, full[100:110])
+
+
+class TestSpectralUtils:
+    def test_tone_floor_measures_quantization(self):
+        # 16-bit quantized tone: spur floor should be way below a coarse
+        # 8-bit one
+        n = np.arange(4096)
+        t16 = np.round(32767 * np.cos(2 * np.pi * 33 * n / 4096))
+        t8 = np.round(127 * np.cos(2 * np.pi * 33 * n / 4096))
+        assert tone_spectral_floor_db(t16) < tone_spectral_floor_db(t8) - 30
+
+    def test_window_sidelobe_matches_test_suite_method(self):
+        spec = WindowSpec(12, 18, overflow="saturate")
+        win = np.asarray(make_window("bh4", spec))
+        lvl = window_sidelobe_db(win, n_terms=4)
+        assert -96 < lvl < -91  # BH-4 published -92
+
+    def test_sizing_rule(self):
+        # README.md:5-6: BH-4 at -92 dB => 17 bits
+        assert required_width_for_sidelobe(-92) == 17
+        assert required_width_for_sidelobe(-180) == 31
+
+    def test_power_spectrum_db_shape(self):
+        db = power_spectrum_db(np.ones(256))
+        assert db.shape == (256,) and db.max() <= 0.0
+
+
+class TestStreamingCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        spec = WindowSpec(12, 17)
+        cur = StreamCursor(spec, (1, 2, 3, 4), block_len=256, next_block=3)
+        p = tmp_path / "cursor.json"
+        cur.save(p)
+        back = StreamCursor.load(p)
+        assert back == cur
+        assert back.next_sample == 3 * 256
+        assert back.total_blocks == 16
+
+    def test_resume_produces_identical_window(self, tmp_path):
+        spec = WindowSpec(10, 17)
+        q = catalog.get("bh4").quantized(17)
+        cur = StreamCursor(spec, q, block_len=128)
+        p = tmp_path / "c.json"
+        out = np.zeros(spec.n, np.int64)
+
+        # run 3 blocks, "crash", resume from checkpoint, finish
+        it = stream_blocks(cur, p)
+        for _ in range(3):
+            c, n0 = next(it)
+            out[n0 : n0 + 128] = np.asarray(
+                window_samples(n0 + np.arange(128), q, spec)
+            )
+        # at-least-once: the checkpoint trails the consumed block by one;
+        # re-generating that block is idempotent
+        resumed = StreamCursor.load(p)
+        assert resumed.next_block == 2
+        for c, n0 in stream_blocks(resumed, p):
+            out[n0 : n0 + 128] = np.asarray(
+                window_samples(n0 + np.arange(128), q, spec)
+            )
+        want = np.asarray(make_window("bh4", spec))
+        np.testing.assert_array_equal(out, want)
+        assert StreamCursor.load(p).done
