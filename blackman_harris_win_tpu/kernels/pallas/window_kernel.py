@@ -130,6 +130,72 @@ def _cos_wide(n, pw: int, w: int):
     return (limb.to_int32(c) << sw) >> sw  # win_t wrap (w <= 32)
 
 
+def _cos_wide4(n, pw: int, w: int):
+    """Radix-4 two-limb HLS-flavor CORDIC cosine for internal width
+    w+2 == 34 exactly — the -180 dB regime (w = 32).  The trick only works
+    at 34 bits: h is the value's bits 2..33, so native int32 wraparound IS
+    the 34-bit register wrap; narrower widths would need explicit h wraps
+    (use the radix-2^24 path there).
+
+    Representation: ``v = h*4 + l`` with h a *native int32* (so the 34-bit
+    two's-complement wrap is free) and l in {0..3}.  Steering uses a
+    multiply by d = +-1 instead of dual-branch selects, and the output
+    ``x >> 2`` is simply h.  Bit-exact vs :func:`_cos_wide` / the golden
+    model; ~1.5x fewer VPU ops per iteration.
+    """
+    iw = w + 2
+    if iw != 34:
+        raise ValueError("radix-4 path requires internal width == 34 (w=32)")
+    luts = _hls_luts(w)
+    gain = GAIN48_QUARTER >> (46 - w)
+
+    q, init_t = _quadrant_and_z0(n, pw, w)
+    # init_z's low 2 bits are always 0: both reference branches end in a
+    # left-shift of >= 2 (win_function.cpp:92,95), so l = 0 and h carries
+    # bits 2..33 (native int32 wrap == 34-bit wrap).
+    if pw - 1 < w:
+        zh = init_t << (w - pw)  # (init_t << (w-pw+2)) >> 2
+    else:
+        zh = init_t >> (pw - w)  # ((init_t >> (pw-w)) << 2) >> 2
+    zl = jnp.zeros_like(init_t)
+
+    xh = jnp.full(n.shape, gain >> 2, jnp.int32)
+    xl = jnp.full(n.shape, gain & 3, jnp.int32)
+    yh = jnp.zeros(n.shape, jnp.int32)
+    yl = jnp.zeros(n.shape, jnp.int32)
+
+    for k in range(w):
+        d = jnp.where(zh < 0, 1, -1)  # z<0: x += y>>k else x -= y>>k
+        # y >> k and x >> k in radix-4:
+        if k == 0:
+            ysh, ysl, xsh, xsl = yh, yl, xh, xl
+        elif k == 1:
+            ysh = yh >> 1
+            ysl = ((yh & 1) << 1) | (yl >> 1)
+            xsh = xh >> 1
+            xsl = ((xh & 1) << 1) | (xl >> 1)
+        else:
+            ysh = yh >> k
+            ysl = (yh >> (k - 2)) & 3
+            xsh = xh >> k
+            xsl = (xh >> (k - 2)) & 3
+        s1 = xl + d * ysl
+        xh, xl = xh + d * ysh + (s1 >> 2), s1 & 3
+        s2 = yl - d * xsl
+        yh, yl = yh - d * xsh + (s2 >> 2), s2 & 3
+        if k < w - 1:
+            lh, ll = luts[k] >> 2, luts[k] & 3
+            s3 = zl + d * ll
+            zh, zl = zh + d * lh + (s3 >> 2), s3 & 3
+
+    # out = x >> 2 == h; quadrant fix on int32 (wrap at w bits afterwards)
+    c = jnp.where(
+        q == 0, xh, jnp.where(q == 1, -yh, jnp.where(q == 2, -xh, yh))
+    )
+    sw = 32 - w
+    return (c << sw) >> sw if sw else c
+
+
 def window_values(n, coeffs_q, spec: WindowSpec):
     """Window samples at int32 indices ``n`` using int32-lane datapaths only
     (Pallas-safe; also usable as a plain jnp function).  HLS rounding.
@@ -145,7 +211,12 @@ def window_values(n, coeffs_q, spec: WindowSpec):
 
     wide_state = (w + 2) > 32
     wide_prod = (amax.bit_length() + (w - 2) + 1) > 32
-    cos_fn = _cos_wide if wide_state else _cos_i32
+    if not wide_state:
+        cos_fn = _cos_i32
+    elif w + 2 == 34:
+        cos_fn = _cos_wide4  # radix-4 fast path for the -180 dB regime
+    else:
+        cos_fn = _cos_wide
 
     acc = jnp.full(n.shape, coeffs_q[0], jnp.int32)
     for k in range(1, len(coeffs_q)):

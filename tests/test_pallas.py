@@ -103,6 +103,27 @@ class TestCosDatapaths:
         for i, p in enumerate(ph):
             assert int(c[i]) == golden.cordic_hls(int(p), pw, w)[0], (pw, w, p)
 
+    @pytest.mark.parametrize("pw,w", [(12, 32), (26, 32)])
+    def test_cos_wide4_vs_golden(self, pw, w):
+        from blackman_harris_win_tpu.kernels.pallas.window_kernel import _cos_wide4
+
+        ph = np.unique(
+            np.concatenate(
+                [np.arange(0, 1 << pw, max(1, (1 << pw) // 512)),
+                 np.array([0, 1, (1 << (pw - 2)), (1 << (pw - 1)) - 1,
+                           1 << (pw - 1), (3 << (pw - 2)), (1 << pw) - 1])]
+            )
+        )
+        c = np.asarray(_cos_wide4(jnp.asarray(ph, jnp.int32), pw, w))
+        for i, p in enumerate(ph):
+            assert int(c[i]) == golden.cordic_hls(int(p), pw, w)[0], (pw, w, p)
+
+    def test_cos_wide4_rejects_narrow(self):
+        from blackman_harris_win_tpu.kernels.pallas.window_kernel import _cos_wide4
+
+        with pytest.raises(ValueError):
+            _cos_wide4(jnp.arange(4, dtype=jnp.int32), 10, 31)
+
     @pytest.mark.parametrize("pw,w", [(12, 32), (26, 32), (10, 31)])
     def test_cos_wide_vs_golden(self, pw, w):
         ph = np.unique(
