@@ -1,0 +1,119 @@
+"""Extended benchmark suite (one JSON line per metric, BASELINE configs).
+
+Runs on the real chip; complements bench.py's single headline line.  Every
+timing is host-synced via a scalar checksum (this backend's
+block_until_ready is unreliable — see utils/profiling.py).
+
+Configs covered (BASELINE.json):
+  1. Hamming N=4096 @ 17-bit (vs float golden, RMS check)
+  2. BH-4 N=1M @ W=17 generation throughput
+  3. BH-7 N=64M @ W=32 (-180 dB) generation throughput  [= bench.py]
+  4. Windowed Welch analyzer: BH-4 window, 1M-pt FFT frames
+  5. SDR chain: channelizer + discriminator throughput
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def _sync_time(fn, reps=3):
+    float(np.asarray(fn()).sum())
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        float(np.asarray(fn()).sum())
+        ts.append(time.time() - t0)
+    return float(np.median(ts))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from blackman_harris_win_tpu.core.config import WindowSpec
+    from blackman_harris_win_tpu.kernels.pallas.window_kernel import window_values
+    from blackman_harris_win_tpu.kernels.window import make_window
+    from blackman_harris_win_tpu.pipeline.spectral import welch_power, window_scale
+    from blackman_harris_win_tpu.windows import catalog
+
+    out = []
+
+    # --- config 1: Hamming 4096 @17b, RMS vs float golden ---
+    spec1 = WindowSpec(12, 17, overflow="saturate")
+    win = np.asarray(make_window("hamming", spec1), np.float64)
+    gold = catalog.golden_quantized_window("hamming", np.arange(4096), 4096, 17)
+    rms = float(np.sqrt(np.sum((win - gold) ** 2)) / 4096)
+    out.append({"metric": "hamming_4096_w17_rms_vs_float", "value": round(rms, 4),
+                "unit": "LSB", "pass": rms < 10})
+    print(json.dumps(out[-1]), flush=True)
+
+    # --- config 2: BH-4 @ W=17 gen (1M-window config, 64 windows per
+    #     dispatch to amortize the ~32 ms tunnel round-trip) ---
+    spec2 = WindowSpec(20, 17, overflow="wrap")
+    q2 = catalog.get("bh4").quantized(17)
+    L2 = 1 << 20
+    REP2 = 64
+
+    @jax.jit
+    def gen_bh4(_):
+        def body(acc, i):
+            n = jnp.arange(L2, dtype=jnp.int32)
+            return acc + jnp.sum(window_values(n + i, q2, spec2)), None
+        s_, _ = jax.lax.scan(body, jnp.int32(0), jnp.arange(REP2, dtype=jnp.int32))
+        return s_
+
+    t = _sync_time(lambda: gen_bh4(0))
+    v2 = REP2 * L2 / t / 1e6
+    out.append({"metric": "bh4_1M_w17_gen", "value": round(v2, 1),
+                "unit": "Msamples/s", "vs_fpga_400": round(v2 / 400, 2)})
+    print(json.dumps(out[-1]), flush=True)
+
+    # --- config 3 is bench.py's headline (64M BH-7) ---
+
+    # --- config 4: Welch analyzer, BH-4 window, 1M-pt frames ---
+    nfft, hop = 1 << 20, 1 << 19
+    spec4 = WindowSpec(20, 17, overflow="saturate")
+    T = 16 * nfft
+    # synthesize the input ON DEVICE (host->device transfers crawl through
+    # the tunnel at ~0.1 MB/s)
+    x = jax.jit(
+        lambda: jax.random.normal(jax.random.PRNGKey(0), (T,), jnp.float32)
+    )()
+    sc = window_scale(spec4, catalog.get("bh4").shift)
+
+    @jax.jit
+    def analyzer(xv):
+        wq = window_values(jnp.arange(nfft, dtype=jnp.int32), q2, spec4)
+        w = wq.astype(jnp.float32) * jnp.float32(sc)
+        return jnp.sum(welch_power(xv, w, nfft, hop))
+
+    t = _sync_time(lambda: analyzer(x))
+    out.append({"metric": "welch_bh4_1Mfft", "value": round(T / t / 1e6, 1),
+                "unit": "Msamples/s_in"})
+    print(json.dumps(out[-1]), flush=True)
+
+    # --- config 5: SDR chain throughput (16-ch channelizer + discriminator) ---
+    from blackman_harris_win_tpu.pipeline.channelizer import design_prototype
+    from blackman_harris_win_tpu.pipeline.sdr import sdr_chain
+
+    C, tpb = 16, 8
+    proto = design_prototype(C, tpb)
+    Ts = C * (1 << 17)
+    xs = jax.jit(
+        lambda: jax.random.normal(jax.random.PRNGKey(1), (Ts,), jnp.float32)
+    )()
+
+    @jax.jit
+    def chain(v):
+        return jnp.sum(sdr_chain(v, proto, C, angle_width=20))
+
+    t = _sync_time(lambda: chain(xs))
+    out.append({"metric": "sdr_chain_16ch", "value": round(Ts / t / 1e6, 1),
+                "unit": "Msamples/s_in"})
+    print(json.dumps(out[-1]), flush=True)
+
+
+if __name__ == "__main__":
+    main()
