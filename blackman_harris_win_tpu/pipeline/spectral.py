@@ -38,9 +38,19 @@ def window_scale(spec: WindowSpec, shift: int) -> float:
 def frames_view(x, nfft: int, hop: int):
     """Overlapped frames of the last axis: (..., T) -> (..., nF, nfft) with
     frame m = x[..., m*hop : m*hop+nfft]; requires T >= nfft and exact tiling
-    ((T - nfft) % hop == 0)."""
+    ((T - nfft) % hop == 0).
+
+    When hop divides nfft the frames are assembled from r = nfft/hop shifted
+    reshapes (pure slicing — XLA fuses it; no gather materialization);
+    otherwise falls back to an index gather.
+    """
     t = x.shape[-1]
     nf = (t - nfft) // hop + 1
+    if nfft % hop == 0 and t % hop == 0:
+        r = nfft // hop
+        xr = x.reshape(x.shape[:-1] + (t // hop, hop))
+        parts = [xr[..., i : nf + i, :] for i in range(r)]
+        return jnp.concatenate(parts, axis=-1)
     starts = jnp.arange(nf) * hop
     idx = starts[:, None] + jnp.arange(nfft)[None, :]
     return x[..., idx]
