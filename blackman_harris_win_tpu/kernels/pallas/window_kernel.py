@@ -159,17 +159,22 @@ def _cos_wide4(n, pw: int, w: int):
         zh = init_t >> (pw - w)  # ((init_t >> (pw-w)) << 2) >> 2
     zl = jnp.zeros_like(init_t)
 
-    xh = jnp.full(n.shape, gain >> 2, jnp.int32)
-    xl = jnp.full(n.shape, gain & 3, jnp.int32)
-    yh = jnp.zeros(n.shape, jnp.int32)
-    yl = jnp.zeros(n.shape, jnp.int32)
+    # Steering sign d = (zh>>31)|1 is -1 when z<0, +1 when z>=0; the hls
+    # update "z<0: x += y>>k" therefore reads x -= d*(y>>k), y += d*(x>>k),
+    # z -= d*lut[k].
+    # Iteration 0 specialization: x0 = gain, y0 = 0, so x1 = x0,
+    # y1 = +d*x0; z1 = z0 - d*lut[0] (lut[0] = 2^(w-1): low bits 0).
+    d = (zh >> 31) | 1
+    gh, gl = gain >> 2, gain & 3
+    xh = jnp.full(n.shape, gh, jnp.int32)
+    xl = jnp.full(n.shape, gl, jnp.int32)
+    s2 = d * gl
+    yh, yl = d * gh + (s2 >> 2), s2 & 3
+    zh = zh - d * (luts[0] >> 2)
 
-    for k in range(w):
-        d = jnp.where(zh < 0, 1, -1)  # z<0: x += y>>k else x -= y>>k
-        # y >> k and x >> k in radix-4:
-        if k == 0:
-            ysh, ysl, xsh, xsl = yh, yl, xh, xl
-        elif k == 1:
+    for k in range(1, w):
+        d = (zh >> 31) | 1
+        if k == 1:
             ysh = yh >> 1
             ysl = ((yh & 1) << 1) | (yl >> 1)
             xsh = xh >> 1
@@ -179,14 +184,17 @@ def _cos_wide4(n, pw: int, w: int):
             ysl = (yh >> (k - 2)) & 3
             xsh = xh >> k
             xsl = (xh >> (k - 2)) & 3
-        s1 = xl + d * ysl
-        xh, xl = xh + d * ysh + (s1 >> 2), s1 & 3
-        s2 = yl - d * xsl
-        yh, yl = yh - d * xsh + (s2 >> 2), s2 & 3
+        s1 = xl - d * ysl
+        xh, xl = xh - d * ysh + (s1 >> 2), s1 & 3
+        s2 = yl + d * xsl
+        yh, yl = yh + d * xsh + (s2 >> 2), s2 & 3
         if k < w - 1:
             lh, ll = luts[k] >> 2, luts[k] & 3
-            s3 = zl + d * ll
-            zh, zl = zh + d * lh + (s3 >> 2), s3 & 3
+            if ll:
+                s3 = zl - d * ll
+                zh, zl = zh - d * lh + (s3 >> 2), s3 & 3
+            else:  # low limb unchanged; no carry possible
+                zh = zh - d * lh
 
     # out = x >> 2 == h; quadrant fix on int32 (wrap at w bits afterwards)
     c = jnp.where(
