@@ -71,18 +71,19 @@ def _cos_i32(n, pw: int, w: int):
     else:
         z = wrap_iw((init_t >> (pw - w)) << 2)
 
+    # d = (z>>31)|1 is -1 when z<0; "z<0: x += y>>k" becomes x -= d*(y>>k),
+    # y += d*(x>>k), z -= d*lut[k].  Iteration 0 specialized (y0 = 0).
+    nb = jnp.iinfo(jnp.int32).bits
+    d = (z >> (nb - 1)) | 1
     x = jnp.full(n.shape, gain, jnp.int32)
-    y = jnp.zeros(n.shape, jnp.int32)
-    for k in range(w):
-        neg = z < 0
+    y = wrap_iw(d * gain)
+    z = wrap_iw(z - d * luts[0])
+    for k in range(1, w):
+        d = (z >> (nb - 1)) | 1
         ys, xs = y >> k, x >> k
-        x, y = (
-            wrap_iw(jnp.where(neg, x + ys, x - ys)),
-            wrap_iw(jnp.where(neg, y - xs, y + xs)),
-        )
+        x, y = wrap_iw(x - d * ys), wrap_iw(y + d * xs)
         if k < w - 1:
-            lk = luts[k]
-            z = wrap_iw(jnp.where(neg, z + lk, z - lk))
+            z = wrap_iw(z - d * luts[k])
 
     out_c, out_s = x >> 2, y >> 2
     c = jnp.where(
