@@ -63,26 +63,24 @@ def polyphase_channelize(x, prototype, n_channels: int):
     # branch FIR: y_p[m] = sum_t h[t*C + p] * x[(m - t)*C + p]
     hp = jnp.asarray(h.reshape(tpb, c), x.real.dtype)  # (t, p)
 
-    def branch_conv(sig, k):  # sig (..., nf), k (t,)
-        s = sig.reshape((-1, 1, sig.shape[-1]))
+    def branches_conv(sig):  # sig (..., nf, c) -> (..., nf_out, c)
+        # all C branch FIRs as ONE grouped conv (feature_group_count = C):
         # y_p[m] = sum_t h_p[t] x_p[m-t] is a true convolution; XLA's conv
         # primitive correlates, so flip the taps (valid region: m >= tpb-1)
-        kk = k[::-1].reshape((1, 1, -1))
+        s = jnp.moveaxis(sig.reshape((-1,) + sig.shape[-2:]), -1, 1)  # (B,c,nf)
+        kk = jnp.moveaxis(hp[::-1], -1, 0)[:, None, :]  # (c, 1, tpb) OIW
         y = lax.conv_general_dilated(
             s, kk, window_strides=(1,), padding="VALID",
             dimension_numbers=("NCW", "OIW", "NCW"),
+            feature_group_count=c,
         )
-        return y.reshape(sig.shape[:-1] + (y.shape[-1],))
+        y = jnp.moveaxis(y, 1, -1)  # (B, nf_out, c)
+        return y.reshape(sig.shape[:-2] + y.shape[-2:])
 
     if jnp.iscomplexobj(xp):
-        br = lambda sig, k: branch_conv(sig.real, k) + 1j * branch_conv(sig.imag, k)
+        y = branches_conv(xp.real) + 1j * branches_conv(xp.imag)
     else:
-        br = branch_conv
-
-    ys = []
-    for p in range(c):
-        ys.append(br(xp[..., p], hp[:, p]))  # (..., nf_out)
-    y = jnp.stack(ys, axis=-1)  # (..., frame, branch)
+        y = branches_conv(xp)  # (..., frame, branch)
 
     # DFT across branches (e^{-j 2 pi p k / C}) so channel k sits at +k/C
     return jnp.fft.fft(y, axis=-1)
