@@ -14,7 +14,7 @@ from dataclasses import dataclass, field, replace
 
 
 VALID_CORDIC_FLAVORS = ("hls", "cmodel", "dds", "dds48", "scaled")
-VALID_SIN_TYPES = ("cordic", "taylor")
+VALID_SIN_TYPES = ("cordic", "taylor", "taylor2")
 VALID_ROUNDING = ("hls", "rtl")
 VALID_OVERFLOW = ("wrap", "saturate")
 
@@ -85,6 +85,7 @@ class WindowSpec:
     phase_width: int
     data_width: int
     sin_type: str = "cordic"  # "cordic" | "taylor" (src/win_selector.vhd:66)
+    #   | "taylor2": the TPU fast mode (2nd-order Taylor, kernels/fastwin.py)
     rounding: str = "hls"
     overflow: str = "saturate"
     precision: int = 1  # guard bits of the dds flavor (rtl mode)

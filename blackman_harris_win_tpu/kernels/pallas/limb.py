@@ -130,3 +130,33 @@ def mul_shift30(a, c, shift: int):
     mid15 = t & 0x7FFF
     # value = hi30*2^30 + mid15*2^15 + low15
     return (hi30 << (30 - shift)) + ((mid15 << 15 | low15) >> shift)
+
+
+def _mul_parts30(a, c):
+    """(hi, rem) with a*c == hi*2^30 + rem, rem in [0, 2^30)."""
+    a1, a0 = a >> 15, a & 0x7FFF
+    c1, c0 = c >> 15, c & 0x7FFF
+    t = a1 * c0 + a0 * c1 + ((a0 * c0) >> 15)
+    hi = a1 * c1 + (t >> 15)
+    rem = ((t & 0x7FFF) << 15) | ((a0 * c0) & 0x7FFF)
+    return hi, rem
+
+
+def mulsub_shift30(a, c, b, d, round: bool = False, shift: int = 30):
+    """Exact ``(a*c - b*d) >> shift`` (round-half-up with ``round=True``) for
+    int32 inputs with |.| < 2^30, shift in {30, 31, 32}, the result fitting
+    int32.  One floor/round instead of two (halves the truncation noise of
+    ``mul_shift30(a,c,30) - mul_shift30(b,d,30)`` — matters at the -180 dB
+    spur budget; rounding centers it)."""
+    if shift not in (30, 31):
+        raise ValueError("mulsub_shift30 supports shift in {30, 31}")
+    ha, ra = _mul_parts30(a, c)
+    hb, rb = _mul_parts30(b, d)
+    t, r = ha - hb, ra - rb  # value = t*2^30 + r, |r| < 2^30 (int32-safe)
+    if shift == 30:
+        return t + ((r + (1 << 29) if round else r) >> 30)
+    # shift == 31: (t*2^30 + r') >> 31 == (t + (r' >> 30)) >> 1 exactly,
+    # because the sub-2^30 remainder of r' can never flip the final bit.
+    if round:
+        r = r + (1 << 30)  # r' in (0, 2^31): int32-safe
+    return (t + (r >> 30)) >> 1

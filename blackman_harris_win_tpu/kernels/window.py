@@ -86,6 +86,10 @@ def window_samples(n, coeffs_q, spec: WindowSpec):
     data_width-bit values in an int32/int64 carrier.
     """
     pw, w = spec.phase_width, spec.data_width
+    if spec.sin_type == "taylor2":
+        from .fastwin import window_values_fast
+
+        return window_values_fast(jnp.asarray(n, jnp.int32), coeffs_q, spec)
     if spec.rounding == "hls":
         if (
             spec.sin_type == "cordic"
