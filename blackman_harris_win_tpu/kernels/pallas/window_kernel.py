@@ -158,7 +158,6 @@ def _cos_wide4(n, pw: int, w: int):
         zh = init_t << (w - pw)  # (init_t << (w-pw+2)) >> 2
     else:
         zh = init_t >> (pw - w)  # ((init_t >> (pw-w)) << 2) >> 2
-    zl = jnp.zeros_like(init_t)
 
     # Steering sign d = (zh>>31)|1 is -1 when z<0, +1 when z>=0; the hls
     # update "z<0: x += y>>k" therefore reads x -= d*(y>>k), y += d*(x>>k),
@@ -171,10 +170,17 @@ def _cos_wide4(n, pw: int, w: int):
     xl = jnp.full(n.shape, gl, jnp.int32)
     s2 = d * gl
     yh, yl = d * gh + (s2 >> 2), s2 & 3
-    zh = zh - d * (luts[0] >> 2)
+    # z-fold: after iteration 0 the 34-bit residual fits ONE native int32
+    # exactly — |z0| <= 2^32 and lut[0] = 2^31, so z1 = z0 -+ lut[0] lies in
+    # [-2^31, 2^31 - 4]; thereafter |z_{k+1}| <= max(|z_k|, lut[k]) with
+    # lut[1] < 2^29.3, so z never regrows past 2^31.  Every remaining
+    # z-update is then a single multiply-subtract (luts[k] < 2^30 for
+    # k >= 1) instead of the 2-limb carry chain.  Verified bit-exact vs the
+    # golden model (full-period sweeps in tests/test_pallas.py).
+    zs = (zh - d * (luts[0] >> 2)) << 2
 
     for k in range(1, w):
-        d = (zh >> 31) | 1
+        d = (zs >> 31) | 1
         if k == 1:
             ysh = yh >> 1
             ysl = ((yh & 1) << 1) | (yl >> 1)
@@ -190,12 +196,7 @@ def _cos_wide4(n, pw: int, w: int):
         s2 = yl + d * xsl
         yh, yl = yh + d * xsh + (s2 >> 2), s2 & 3
         if k < w - 1:
-            lh, ll = luts[k] >> 2, luts[k] & 3
-            if ll:
-                s3 = zl - d * ll
-                zh, zl = zh - d * lh + (s3 >> 2), s3 & 3
-            else:  # low limb unchanged; no carry possible
-                zh = zh - d * lh
+            zs = zs - d * luts[k]
 
     # out = x >> 2 == h; quadrant fix on int32 (wrap at w bits afterwards)
     c = jnp.where(
