@@ -10,6 +10,12 @@ Configs covered (BASELINE.json):
   3. BH-7 N=64M @ W=32 (-180 dB) generation throughput  [= bench.py]
   4. Windowed Welch analyzer: BH-4 window, 1M-pt FFT frames
   5. SDR chain: channelizer + discriminator throughput
+  6. BH-7 N=64M @ W=32 fast mode (outer-product generator, -180 dB floor
+     held spectrally, tests/test_fastwin.py)
+  7. Fused gen+FFT: 64M-pt windowed power spectrum in ONE dispatch —
+     on-the-fly BH-7 window (fast mode) * on-device signal -> rfft -> |.|^2
+     (the reference's end application: window core feeding an FFT front-end,
+     SURVEY.md §1 L3, with no stored window table, README.md:2-3)
 """
 
 import json
@@ -111,6 +117,51 @@ def main():
 
     t = _sync_time(lambda: chain(xs))
     out.append({"metric": "sdr_chain_16ch", "value": round(Ts / t / 1e6, 1),
+                "unit": "Msamples/s_in"})
+    print(json.dumps(out[-1]), flush=True)
+
+    # --- config 6: BH-7 64M @ W=32 fast mode (outer-product generator) ---
+    from blackman_harris_win_tpu.kernels.outerwin import window_block_outer
+
+    pw6 = 26
+    spec6 = WindowSpec(pw6, 32, overflow="wrap")
+    q6 = catalog.get("bh7").quantized(32)
+    m6 = 11
+    rows6 = 1 << 11          # block = rows * 2^m6 = 4M samples
+    blk6 = rows6 << m6
+    nb6 = (1 << pw6) // blk6
+
+    @jax.jit
+    def gen_outer(seed):
+        def body(acc, i):
+            wv = window_block_outer(i * blk6, rows6, q6, spec6, m=m6)
+            return acc + jnp.sum(wv), None
+        s_, _ = jax.lax.scan(body, seed, jnp.arange(nb6, dtype=jnp.int32))
+        return s_
+
+    t = _sync_time(lambda: gen_outer(jnp.int32(0)))
+    v6 = (1 << pw6) / t / 1e6
+    out.append({"metric": "bh7_w32_64M_gen_fastmode", "value": round(v6, 1),
+                "unit": "Msamples/s", "vs_fpga_400": round(v6 / 400, 2)})
+    print(json.dumps(out[-1]), flush=True)
+
+    # --- config 7: fused gen+FFT — 64M-pt windowed power spectrum, one
+    #     dispatch: on-the-fly window gen * on-device signal -> rfft ---
+    n7 = 1 << pw6
+    x7 = jax.jit(
+        lambda: jax.random.normal(jax.random.PRNGKey(2), (n7,), jnp.float32)
+    )()
+    sc7 = window_scale(spec6, catalog.get("bh7").shift)
+
+    @jax.jit
+    def fused_spectrum(xv):
+        wq = window_block_outer(0, n7 >> m6, q6, spec6, m=m6)
+        xw = xv * (wq.astype(jnp.float32) * jnp.float32(sc7))
+        p = jnp.abs(jnp.fft.rfft(xw)) ** 2
+        return jnp.sum(p)
+
+    t = _sync_time(lambda: fused_spectrum(x7))
+    out.append({"metric": "fused_gen_fft_64M", "value": round(n7 / t / 1e6, 1),
                 "unit": "Msamples/s_in"})
     print(json.dumps(out[-1]), flush=True)
 
