@@ -1,0 +1,210 @@
+"""Command-line front-end: ``python -m blackman_harris_win_tpu <cmd>``.
+
+The reference's user surface is a VHDL entity with generics
+(``src/win_selector.vhd:61-81``); this is its interactive equivalent for
+the TPU framework: list/inspect the coefficient catalog, generate quantized
+windows in any mode, and run the windowed Welch analyzer — without writing
+a line of JAX.
+
+Note: on tunnel-attached TPU setups host transfers are slow; ``gen`` of
+very long windows to a file is meant for workstation/CPU use (the sharded
+device-resident paths in ``dist/``/``pipeline/`` never materialize windows
+on the host).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spec(args, require_pow2: bool = True):
+    from .core.config import WindowSpec
+
+    return WindowSpec(
+        phase_width=args.phase_width,
+        data_width=args.data_width,
+        sin_type=getattr(args, "sin_type", "cordic"),
+        rounding=getattr(args, "rounding", "hls"),
+        overflow=getattr(args, "overflow", "saturate"),
+        lut_size=getattr(args, "lut_size", 10),
+    )
+
+
+def cmd_list(args) -> int:
+    from .windows import catalog
+
+    rows = []
+    for name in catalog.names():
+        d = catalog.get(name)
+        rows.append(
+            {
+                "name": d.name,
+                "terms": d.n_terms,
+                "sidelobe_db": d.sidelobe_db,
+                "shift": d.shift,
+                "coeffs": list(d.coeffs),
+            }
+        )
+    if args.json:
+        print(json.dumps(rows, indent=None))
+    else:
+        print(f"{'name':16} {'terms':>5} {'sidelobe':>9}  coefficients")
+        for r in rows:
+            sl = f"{r['sidelobe_db']:.0f} dB" if r["sidelobe_db"] else "-"
+            cs = " ".join(f"{c:.6g}" for c in r["coeffs"])
+            print(f"{r['name']:16} {r['terms']:>5} {sl:>9}  {cs}")
+    return 0
+
+
+def cmd_info(args) -> int:
+    from .utils.spectral import required_width_for_sidelobe
+    from .windows import catalog
+
+    d = catalog.get(args.window)
+    out = {
+        "name": d.name,
+        "terms": d.n_terms,
+        "sidelobe_db": d.sidelobe_db,
+        "shift": d.shift,
+        "coeffs": list(d.coeffs),
+        "quantized": list(d.quantized(args.data_width)),
+        "data_width": args.data_width,
+    }
+    if d.sidelobe_db is not None:
+        out["required_width"] = required_width_for_sidelobe(d.sidelobe_db)
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_gen(args) -> int:
+    import numpy as np
+
+    from .windows import catalog
+
+    spec = _spec(args)
+    d = catalog.get(args.window)
+    coeffs_q = d.quantized(spec.data_width)
+
+    if args.mode == "outer":
+        from .kernels.outerwin import window_block_outer
+
+        m = min(11, spec.phase_width - 1)
+        win = window_block_outer(0, spec.n >> m, coeffs_q, spec, m=m)
+    elif args.mode == "taylor2":
+        from .kernels.fastwin import window_values_fast
+        import jax.numpy as jnp
+
+        win = window_values_fast(
+            jnp.arange(spec.n, dtype=jnp.int32), coeffs_q, spec
+        )
+    else:
+        from .kernels.window import make_window
+
+        win = make_window(args.window, spec)
+
+    w = np.asarray(win)
+    if args.out:
+        if args.out.endswith(".npy"):
+            np.save(args.out, w)
+        else:
+            np.savetxt(args.out, w, fmt="%d")
+        print(f"wrote {spec.n} samples ({w.dtype}) to {args.out}")
+    else:
+        np.savetxt(sys.stdout, w[: args.head] if args.head else w, fmt="%d")
+
+    if args.measure_floor:
+        from .utils.spectral import window_sidelobe_db
+
+        print(
+            json.dumps(
+                {
+                    "measured_sidelobe_db": round(
+                        float(window_sidelobe_db(w.astype(np.float64))), 2
+                    ),
+                    "published_db": d.sidelobe_db,
+                }
+            ),
+            file=sys.stderr,
+        )
+    return 0
+
+
+def cmd_spectrum(args) -> int:
+    import numpy as np
+    import jax.numpy as jnp
+
+    from .pipeline.spectral import windowed_power_spectrum
+
+    spec = _spec(args)
+    x = np.load(args.input)
+    hop = args.hop or spec.n // 2
+    p = windowed_power_spectrum(
+        jnp.asarray(x, jnp.float32), args.window, spec, hop=hop
+    )
+    p = np.asarray(p)
+    if args.out:
+        np.save(args.out, p)
+        print(f"wrote spectrum {p.shape} to {args.out}")
+    else:
+        np.savetxt(sys.stdout, 10.0 * np.log10(np.maximum(p, 1e-300)))
+    return 0
+
+
+def _add_spec_args(p: argparse.ArgumentParser, need_window: bool = True):
+    if need_window:
+        p.add_argument("window", help="catalog name (see `list`)")
+    p.add_argument("--phase-width", type=int, default=12,
+                   help="log2 window length (reference PHI_WIDTH), default 12")
+    p.add_argument("--data-width", type=int, default=17,
+                   help="output bit width (reference DAT_WIDTH), default 17")
+    p.add_argument("--rounding", choices=("hls", "rtl"), default="hls")
+    p.add_argument("--overflow", choices=("saturate", "wrap"), default="saturate")
+    p.add_argument("--sin-type", choices=("cordic", "taylor", "taylor2"),
+                   default="cordic")
+    p.add_argument("--lut-size", type=int, default=10)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="blackman_harris_win_tpu",
+        description="TPU-native streaming fixed-point window generation",
+    )
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("list", help="list the coefficient catalog")
+    p.add_argument("--json", action="store_true")
+    p.set_defaults(fn=cmd_list)
+
+    p = sub.add_parser("info", help="one window's coefficients / widths")
+    p.add_argument("window")
+    p.add_argument("--data-width", type=int, default=17)
+    p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser("gen", help="generate a quantized window")
+    _add_spec_args(p)
+    p.add_argument("--mode", choices=("exact", "taylor2", "outer"),
+                   default="exact",
+                   help="exact = bit-exact CORDIC datapath; taylor2/outer = "
+                        "fast modes (spectrally validated)")
+    p.add_argument("--out", help=".npy or text file (default: stdout)")
+    p.add_argument("--head", type=int, default=0,
+                   help="print only the first N samples to stdout")
+    p.add_argument("--measure-floor", action="store_true",
+                   help="report the measured sidelobe floor on stderr")
+    p.set_defaults(fn=cmd_gen)
+
+    p = sub.add_parser("spectrum", help="windowed Welch power spectrum of a .npy signal")
+    _add_spec_args(p)
+    p.add_argument("--input", required=True, help="input signal .npy")
+    p.add_argument("--hop", type=int, default=0, help="frame hop (default nfft/2)")
+    p.add_argument("--out", help="output spectrum .npy (default: dB to stdout)")
+    p.set_defaults(fn=cmd_spectrum)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -134,6 +134,11 @@ WIN_SELECTOR_TYPES: dict[str, str] = {
 }
 
 
+def names() -> list[str]:
+    """Catalog window names, in definition order."""
+    return [d.name for d in _DEFS]
+
+
 def get(name: str) -> WindowDef:
     try:
         return CATALOG[name]

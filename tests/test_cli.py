@@ -1,0 +1,70 @@
+"""CLI front-end (``python -m blackman_harris_win_tpu``) tests — CPU."""
+
+import json
+
+import numpy as np
+import pytest
+
+from blackman_harris_win_tpu.__main__ import main
+from blackman_harris_win_tpu.model import golden
+from blackman_harris_win_tpu.windows import catalog
+
+
+def test_list_json(capsys):
+    assert main(["list", "--json"]) == 0
+    rows = json.loads(capsys.readouterr().out)
+    assert {r["name"] for r in rows} == set(catalog.names())
+    bh7 = next(r for r in rows if r["name"] == "bh7")
+    assert bh7["terms"] == 7 and bh7["sidelobe_db"] == -180.0
+
+
+def test_info_quantized(capsys):
+    assert main(["info", "bh4", "--data-width", "17"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert tuple(out["quantized"]) == catalog.get("bh4").quantized(17)
+    assert out["required_width"] == 17  # -92 dB => 16+1 bits (README.md:5-6)
+
+
+def test_gen_exact_bit_exact(tmp_path):
+    f = tmp_path / "w.npy"
+    assert main([
+        "gen", "hamming", "--phase-width", "10", "--data-width", "16",
+        "--overflow", "wrap", "--out", str(f),
+    ]) == 0
+    w = np.load(f)
+    q = catalog.get("hamming").quantized(16)
+    assert len(w) == 1024
+    for i in (0, 1, 511, 512, 1023):
+        assert int(w[i]) == golden.win_cosine_sum_hls(i, q, 10, 16)
+
+
+@pytest.mark.parametrize("mode", ["taylor2", "outer"])
+def test_gen_fast_modes(tmp_path, mode, capsys):
+    f = tmp_path / "w.npy"
+    assert main([
+        "gen", "bh7", "--phase-width", "12", "--data-width", "32",
+        "--mode", mode, "--out", str(f), "--measure-floor",
+    ]) == 0
+    w = np.load(f).astype(np.float64)
+    err = capsys.readouterr().err
+    floor = json.loads(err.splitlines()[-1])["measured_sidelobe_db"]
+    assert floor <= -179.0
+    assert w.max() <= 2**30 and len(w) == 4096
+
+
+def test_spectrum_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=4096).astype(np.float32)
+    xin, xout = tmp_path / "x.npy", tmp_path / "p.npy"
+    np.save(xin, x)
+    assert main([
+        "spectrum", "hann", "--phase-width", "9", "--data-width", "16",
+        "--input", str(xin), "--out", str(xout),
+    ]) == 0
+    p = np.load(xout)
+    assert p.shape == (257,) and np.all(np.isfinite(p)) and p.min() >= 0
+
+
+def test_unknown_window():
+    with pytest.raises(KeyError):
+        main(["info", "nosuchwin"])
