@@ -1,0 +1,51 @@
+"""SDR chain: polyphase channelizer -> FM discriminator (CORDIC atan2).
+
+A 16-channel wideband stream carrying one FM tone in channel 5 is
+channelized with a windowed-sinc prototype and discriminated with the
+vectoring-mode fixed-point CORDIC (the reference's cordic_atan2 engine,
+src/cordic_atan2.vhd).  Runs fine on CPU.
+"""
+import _path  # noqa: F401  (in-repo import shim)
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from blackman_harris_win_tpu.pipeline.channelizer import design_prototype, polyphase_channelize
+from blackman_harris_win_tpu.pipeline.sdr import sdr_chain
+
+C, TPB = 16, 8
+proto = design_prototype(C, TPB)
+
+# FM signal centered on channel 5 (f = 5/C), deviation 0.2 channel widths,
+# slow message tone at 0.0003 cycles/sample
+t = np.arange(C * 4096)
+fm = 0.2 / C * np.sin(2 * np.pi * t * 0.0003)
+phase = 2 * np.pi * np.cumsum(5 / C + fm)
+x = np.cos(phase).astype(np.float32)
+
+# 1. channel activity: envelope power per channel (a real input folds the
+#    tone into channel k and its conjugate image C-k)
+env = np.asarray(jax.jit(
+    lambda v: jnp.mean(jnp.abs(polyphase_channelize(v, proto, C)) ** 2, axis=0)
+)(jnp.asarray(x)))
+k = int(np.argmax(env))
+print("per-channel envelope power:", np.array2string(env, precision=4))
+print(f"active channel: {k} (expected 5; image {C - 5} carries the conjugate)")
+assert k in (5, C - 5)
+
+# 2. discriminate every channel with the fixed-point CORDIC atan2
+out = np.asarray(jax.jit(
+    lambda v: sdr_chain(v, proto, C, angle_width=20)
+)(jnp.asarray(x)))
+print(f"discriminator output: {out.shape} (frames x channels, angle LSBs)")
+
+# 3. recovered message: channel 5's instantaneous frequency tracks fm.
+#    Mean angle step = 2^20 * (f_5 - center)/channel-rate; the message rides
+#    on top at 0.0003 * C cycles/frame.
+d5 = out[:, 5].astype(np.float64)
+d5 -= d5.mean()
+spec = np.abs(np.fft.rfft(d5 * np.hanning(len(d5))))
+fpk = int(np.argmax(spec[1:])) + 1
+f_msg = fpk / len(d5) / C  # cycles per input sample
+print(f"recovered message tone ~{f_msg:.5f} cycles/sample (sent 0.00030)")
+assert abs(f_msg - 0.0003) < 5e-5
