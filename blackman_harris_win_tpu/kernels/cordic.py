@@ -55,6 +55,17 @@ def _carrier(iw: int):
     return dt
 
 
+def _use_i32(internal_bits: int, pw: int, w: int) -> bool:
+    """True when int64 lanes are unavailable (TPU production regime) and the
+    int32-lane two-limb path (kernels.pallas.cordic_wide) serves this config."""
+    return (
+        internal_bits > 32
+        and not _jax.config.read("jax_enable_x64")
+        and w <= 32
+        and pw <= 30
+    )
+
+
 def _rotate(x, y, z, luts, n_xy, n_z, wrap_xy, wrap_z, z_pos_adds_to_x):
     """Shared unrolled iteration core.
 
@@ -109,6 +120,10 @@ def cordic_hls(phase, spec: CordicSpec):
     Amplitude ~2^(W-2)."""
     pw, w = spec.phase_width, spec.data_width
     iw = w + 2
+    if _use_i32(max(iw, pw + 1), pw, w):
+        from .pallas.cordic_wide import cordic_hls_i32
+
+        return cordic_hls_i32(phase, pw, w)
     dt = _carrier(iw)
     nbits = jnp.iinfo(dt).bits
     wrap_iw = _wrapper(iw, nbits)
@@ -151,6 +166,10 @@ def cordic_cmodel(phase, spec: CordicSpec):
     """Plain C model flavor (cpp/cordic_sincos.cpp:10-92): int64 state (no
     wrap), 2^48/(2pi) LUT, one's-complement quadrant fix."""
     pw, w, p = spec.phase_width, spec.data_width, spec.precision
+    if _use_i32(64, pw, w):
+        from .pallas.cordic_wide import cordic_cmodel_i32
+
+        return cordic_cmodel_i32(phase, pw, w, p)
     dt = _carrier(64)
     ident = lambda v: v
 
@@ -183,6 +202,10 @@ def cordic_dds(phase, spec: CordicSpec):
     bits, W-1 iterations, output-side quadrant fix.  Amplitude ~2^(W-2)."""
     pw, w, p = spec.phase_width, spec.data_width, spec.precision
     iw = w + p
+    if _use_i32(max(iw, pw + 1), pw, w):
+        from .pallas.cordic_wide import cordic_dds_i32
+
+        return cordic_dds_i32(phase, pw, w, p)
     dt = _carrier(iw)
     nbits = jnp.iinfo(dt).bits
     wrap_iw = _wrapper(iw, nbits)
@@ -228,6 +251,10 @@ def cordic_dds48(phase, spec: CordicSpec):
     Axis convention quirk of the reference: DT_COS is the true cosine;
     DT_SIN carries -sin (the window cores only consume DT_COS)."""
     pw, w = spec.phase_width, spec.data_width
+    if _use_i32(48, pw, w):
+        from .pallas.cordic_wide import cordic_dds48_i32
+
+        return cordic_dds48_i32(phase, pw, w)
     iw = 48
     dt = _carrier(48)
     wrap_iw = _wrapper(iw, 64)
@@ -248,6 +275,16 @@ def _atan2_core(y, x, input_width: int, angle_width: int, precision: int):
     (quadrant, dat_phi) where dat_phi ~ -atan(|y|/|x|) * 2^(AW-1)/pi."""
     aw, p = angle_width, precision
     iw_int = aw + p
+    if (
+        max(iw_int, input_width + 1) > 32
+        and not _jax.config.read("jax_enable_x64")
+        and aw <= 32
+        and input_width <= 32
+    ):
+        from .pallas.cordic_wide import cordic_atan2_core_i32
+
+        q, dat_phi = cordic_atan2_core_i32(y, x, input_width, aw, p)
+        return q, dat_phi, _wrapper(aw, 32)
     dt = _carrier(max(iw_int, input_width + 1))
     nbits = jnp.iinfo(dt).bits
     wrap_iw = _wrapper(iw_int, nbits)
@@ -326,6 +363,10 @@ def cordic_scaled(phase, spec: CordicSpec):
     pw, w = spec.phase_width, spec.data_width
     size = scaled_internal_width(w)
     dwph = max(size, pw)
+    if _use_i32(max(size, dwph, pw + 1), pw, w):
+        from .pallas.cordic_wide import cordic_scaled_i32
+
+        return cordic_scaled_i32(phase, pw, w)
     dt = _carrier(max(size, dwph, pw + 1))
     nbits = jnp.iinfo(dt).bits
     wrap_xy = _wrapper(size, nbits)

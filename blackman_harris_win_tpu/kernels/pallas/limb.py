@@ -142,6 +142,32 @@ def _mul_parts30(a, c):
     return hi, rem
 
 
+def mul_shift_rh(a_int: int, c, w: int):
+    """Exact ``(rh, rl)`` with ``rh = (a_int * c) >> (w - 1)`` and
+    ``rl = bit (w - 2) of (a_int * c)``, for w in {31, 32}, a static
+    coefficient ``|a_int| < 2^(w-1)`` and int32 lanes ``|c| <~ 2^(w-2)``.
+
+    This is the RTL window product slice (``src/bh_win_3term.vhd:260-267``:
+    ``mult_p(2W-2 downto W-2)``) split as (r >> 1, r & 1) so the
+    round-half-up ``rh + rl`` never materializes the (w+1)-bit slice r
+    itself — r can reach +-2^(w-1)·(1+eps) which would alias an int32 at
+    w = 32.  Derivation: a = 2·ah + e, p = 2·Q + e·c with Q = ah·c
+    decomposed by :func:`_mul_parts30`; then with S = remQ + ((e·c) >> 1),
+    ``p >> (w-1) = hiQ + (S >> 30)`` and ``bit(w-2) of p = bit 29 of S``
+    (exact for all signs; |S| < 2^31).
+    """
+    if w == 31:
+        # |a| < 2^30, |c| <= 2^29·(1+eps): _mul_parts30 bounds hold.
+        hi, rem = _mul_parts30(jnp.int32(a_int), c)
+        return hi, (rem >> 29) & 1
+    if w != 32:
+        raise ValueError("mul_shift_rh supports w in {31, 32}")
+    ah, e = a_int >> 1, a_int & 1
+    hi_q, rem_q = _mul_parts30(jnp.int32(ah), c)
+    s = rem_q + (c >> 1) if e else rem_q
+    return hi_q + (s >> 30), (s >> 29) & 1
+
+
 def mulsub_shift30(a, c, b, d, round: bool = False, shift: int = 30):
     """Exact ``(a*c - b*d) >> shift`` (round-half-up with ``round=True``) for
     int32 inputs with |.| < 2^30, shift in {30, 31, 32}, the result fitting

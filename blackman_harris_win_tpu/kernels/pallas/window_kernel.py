@@ -206,14 +206,101 @@ def _cos_wide4(n, pw: int, w: int):
     return (c << sw) >> sw if sw else c
 
 
+def _rtl_term(coeff: int, c, w: int):
+    """One RTL product term: ``wrap(round_half_up_bit0(wrap((a_k * cos_k)
+    >> (W-2), W+1)), W)`` (src/bh_win_3term.vhd:257-280) on int32 lanes.
+
+    The (w+1)-bit slice r fits int32 for w <= 31 (|r| < 2^w); at w in
+    {31, 32} with a wide product, ``limb.mul_shift_rh`` returns (r>>1, r&1)
+    directly so r itself is never materialized.
+    """
+    coeff = int(coeff)
+    prod_bits = abs(coeff).bit_length() + (w - 2) + 1
+    if prod_bits <= 31:
+        r = (coeff * c) >> (w - 2)
+        b = (r >> 1) + (r & 1)
+    elif w <= 30:
+        # |r| < 2^(w-1) <= 2^29: mul_shift30 is exact and alias-free here.
+        r = limb.mul_shift30(jnp.int32(coeff), c, w - 2)
+        b = (r >> 1) + (r & 1)
+    else:
+        rh, rl = limb.mul_shift_rh(coeff, c, w)
+        b = rh + rl
+    sw = 32 - w
+    return (b << sw) >> sw if sw else b
+
+
+def window_values_rtl(n, coeffs_q, spec: WindowSpec):
+    """RTL (VHDL) rounding-contract window samples at int32 indices ``n``
+    on int32 lanes only (Pallas-safe): cos from ``cordic_dds``
+    (src/cordic_dds.vhd), product slice [2W-2:W-2] with round-half-up off
+    bit 0, alternating adder tree in W+2 bits, final round-half-up off
+    bit 1 (src/bh_win_3term.vhd:257-306); 2-term variant per
+    src/hamming_win.vhd:194-231 (W+1-bit subtract, final round off bit 0).
+
+    For w in {31, 32} the (w+2)-bit adder tree is carried radix-4 as
+    (acc>>2 in a native int32, acc&3): the final output keeps only bits
+    2..w+1 of the tree (+ the bit-1 round), so the int32 high word IS the
+    (w+2)-bit register mod 2^w — the same trick as :func:`_cos_wide4`.
+    """
+    from .cordic_wide import cordic_dds_i32
+
+    if spec.sin_type != "cordic":
+        raise NotImplementedError("int32 RTL path supports CORDIC sin_type")
+    pw, w, p = spec.phase_width, spec.data_width, spec.precision
+    coeffs_q = tuple(int(c) for c in coeffs_q)
+    mask = (1 << pw) - 1
+    nterms = len(coeffs_q)
+    sw = 32 - w
+
+    bs = []
+    for k in range(1, nterms):
+        c, _ = cordic_dds_i32((k * n) & mask, pw, w, p)
+        bs.append(_rtl_term(coeffs_q[k], c, w))
+
+    if nterms == 2:  # hamming_win.vhd:211-231 (W+1-bit subtract, rnd bit 0)
+        a0, b = coeffs_q[0], bs[0]
+        if w <= 31:
+            pp = ((a0 - b) << (31 - w)) >> (31 - w)  # wrap to w+1 bits
+            out = (pp >> 1) + (pp & 1)
+        else:  # 33-bit pp as radix-2 (h = pp>>1 native int32, l = pp&0x1)
+            t = (a0 & 1) - (b & 1)
+            h = (a0 >> 1) - (b >> 1) + (t >> 1)
+            out = h + (t & 1)  # wrap(rnd_half_up_bit0(pp), 32) == h + pp&1
+        return (out << sw) >> sw if sw else out
+
+    if w <= 30:  # W+2-bit tree fits int32
+        acc = jnp.full(n.shape, coeffs_q[0], jnp.int32)
+        for k, b in enumerate(bs, start=1):
+            acc = acc - b if k % 2 == 1 else acc + b
+        pp = (acc << (30 - w)) >> (30 - w)  # wrap to w+2 bits
+        out = (pp >> 2) + ((pp >> 1) & 1)
+    else:  # radix-4 tree: h = acc>>2 (int32, exact mod 2^w), l = acc&3
+        a0 = coeffs_q[0]
+        h = jnp.full(n.shape, a0 >> 2, jnp.int32)
+        l = jnp.full(n.shape, a0 & 3, jnp.int32)
+        for k, b in enumerate(bs, start=1):
+            if k % 2 == 1:
+                t = l - (b & 3)
+                h = h - (b >> 2) + (t >> 2)
+            else:
+                t = l + (b & 3)
+                h = h + (b >> 2) + (t >> 2)
+            l = t & 3
+        # out = wrap((pp>>2) + ((pp>>1)&1), w); pp>>2 == h (mod 2^w),
+        # (pp>>1)&1 == bit 1 of acc == (l>>1)&1.
+        out = h + ((l >> 1) & 1)
+    return (out << sw) >> sw if sw else out
+
+
 def window_values(n, coeffs_q, spec: WindowSpec):
     """Window samples at int32 indices ``n`` using int32-lane datapaths only
-    (Pallas-safe; also usable as a plain jnp function).  HLS rounding.
-
-    Dispatches single-limb vs two-limb per the exact product/state widths.
+    (Pallas-safe; also usable as a plain jnp function).  Dispatches on
+    ``spec.rounding`` (HLS or the VHDL "rtl" contract) and single-limb vs
+    two-limb per the exact product/state widths.
     """
-    if spec.rounding != "hls":
-        raise NotImplementedError("Pallas path implements HLS rounding")
+    if spec.rounding == "rtl":
+        return window_values_rtl(n, coeffs_q, spec)
     pw, w = spec.phase_width, spec.data_width
     coeffs_q = tuple(int(c) for c in coeffs_q)
     amax = max(abs(c) for c in coeffs_q)

@@ -105,6 +105,19 @@ def window_samples(n, coeffs_q, spec: WindowSpec):
 
                 return window_values(jnp.asarray(n, jnp.int32), coeffs_q, spec)
         return _window_hls(n, coeffs_q, spec)
+    if (
+        spec.sin_type == "cordic"
+        and not jax.config.read("jax_enable_x64")
+        and w <= 32
+        and pw + 3 <= 32
+    ):
+        amax = max(abs(int(c)) for c in coeffs_q)
+        if max(amax.bit_length() + (w - 2) + 1, w + 2, w + spec.precision) > 32:
+            # int64 lanes unavailable (TPU): the VHDL rounding contract runs
+            # on the int32-lane datapath (radix-4 W+2-bit tree, limb slices)
+            from .pallas.window_kernel import window_values
+
+            return window_values(jnp.asarray(n, jnp.int32), coeffs_q, spec)
     return _window_rtl(n, coeffs_q, spec)
 
 

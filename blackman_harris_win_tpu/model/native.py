@@ -93,6 +93,16 @@ def taylor_sincos(n, pw: int, w: int, ls: int):
     return c, s
 
 
+def win_rtl(n, coeffs_q, pw: int, w: int, p: int = 1):
+    n = _i64(n)
+    coeffs = _i64(coeffs_q)
+    out = np.empty_like(n)
+    lib().win_rtl_bulk(
+        _ptr(n), len(n), _ptr(coeffs), len(coeffs), pw, w, p, _ptr(out)
+    )
+    return out
+
+
 def win_hls(n, coeffs_q, pw: int, w: int):
     n = _i64(n)
     coeffs = _i64(coeffs_q)

@@ -347,4 +347,35 @@ void win_hls_bulk(const int64_t* n, int64_t count, const int64_t* coeffs,
   }
 }
 
+// RTL-mode cosine-sum window (the VHDL rounding contract,
+// src/bh_win_3term.vhd:257-306 / src/hamming_win.vhd:183-231): cos from
+// cordic_dds; product slice [2W-2:W-2] -> W+1 bits, round-half-up off
+// bit 0 -> W bits; W+2-bit alternating adder tree; final round-half-up off
+// bit 1.  The 2-term core subtracts in W+1 bits and rounds off bit 0.
+void win_rtl_bulk(const int64_t* n, int64_t count, const int64_t* coeffs,
+                  int nterms, int pw, int w, int p, int64_t* out) {
+  const int64_t mask = (1ll << pw) - 1;
+  for (int64_t i = 0; i < count; ++i) {
+    if (nterms == 2) {
+      int64_t c, s;
+      cordic_dds1(n[i] & mask, pw, w, p, &c, &s);
+      const int64_t r = wrap((coeffs[1] * c) >> (w - 2), w + 1);
+      const int64_t b = wrap((r >> 1) + (r & 1), w);
+      const int64_t pp = wrap(coeffs[0] - b, w + 1);
+      out[i] = wrap((pp >> 1) + (pp & 1), w);
+      continue;
+    }
+    int64_t acc = coeffs[0];
+    for (int k = 1; k < nterms; ++k) {
+      int64_t c, s;
+      cordic_dds1((k * n[i]) & mask, pw, w, p, &c, &s);
+      const int64_t r = wrap((coeffs[k] * c) >> (w - 2), w + 1);
+      const int64_t b = wrap((r >> 1) + (r & 1), w);
+      acc += (k % 2 == 1) ? -b : b;
+    }
+    const int64_t pp = wrap(acc, w + 2);
+    out[i] = wrap((pp >> 2) + ((pp >> 1) & 1), w);
+  }
+}
+
 }  // extern "C"
