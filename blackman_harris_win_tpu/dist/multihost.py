@@ -63,22 +63,27 @@ def pod_mesh(channels: int = 1, blocks: int | None = None) -> Mesh:
     return Mesh(arr, axis_names=("channels", "blocks"))
 
 
+def owned_block_cols(process_grid: np.ndarray, pid: int) -> tuple[int, int]:
+    """[first, last+1) block columns owned by process ``pid`` given the
+    (channels, blocks) grid of device process indices.  A host owning
+    devices only on non-zero channel rows still feeds the block columns
+    those devices sit at.  Pure function (testable without pod hardware);
+    returns (0, 0) when the process owns no device in the mesh."""
+    cols = sorted(
+        {int(j) for _i, j in zip(*np.where(process_grid == pid))}
+    )
+    if not cols:
+        return (0, 0)
+    return (cols[0], cols[-1] + 1)
+
+
 def process_block_range(n_total: int, mesh: Mesh) -> tuple[int, int]:
     """The [start, end) sample range this host's shards own along 'blocks' —
     for feeding per-host input pipelines without a global gather."""
     nblocks = mesh.shape["blocks"]
     per = n_total // nblocks
-    mine = [
-        i
-        for i, d in enumerate(mesh.devices.reshape(-1, nblocks)[0])
-        if d.process_index == jax.process_index()
-    ]
-    if not mine:  # this host only holds other channel rows; same block cols
-        col_owner = [
-            (i, d.process_index)
-            for i, d in enumerate(mesh.devices.reshape(-1, nblocks)[0])
-        ]
-        mine = [i for i, p in col_owner if p == jax.process_index()]
-    if not mine:
-        return (0, 0)
-    return (min(mine) * per, (max(mine) + 1) * per)
+    grid = np.vectorize(lambda d: d.process_index)(
+        mesh.devices.reshape(-1, nblocks)
+    )
+    lo, hi = owned_block_cols(grid, jax.process_index())
+    return (lo * per, hi * per)
