@@ -13,7 +13,17 @@ covers REPS=4 consecutive 64M windows per dispatch so the ~30 ms tunnel
 round-trip latency amortizes the way a streaming deployment would; the
 per-dispatch round-trip is still fully included once per timing.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Perf accounting (BENCH_NOTES.md): this config is COMPUTE-bound — the
+window is reduced to a checksum on device and never written to HBM
+("accounting" field says so explicitly).  ``vpu_frac`` is the measured
+fraction of the analytic VPU integer-op roofline
+(utils/profiling.cordic_window_int_ops; ~4.3k int-ops/sample).
+
+Correctness gate before timing: a fresh random 4096-sample block (seed
+printed, clock-derived) asserted 0-LSB against the native C++ oracle, plus
+Python-golden spot checks — the full chain of evidence, re-rolled each run.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
@@ -28,7 +38,11 @@ def main():
 
     from blackman_harris_win_tpu.core.config import WindowSpec
     from blackman_harris_win_tpu.kernels.pallas.window_kernel import window_values
-    from blackman_harris_win_tpu.model import golden
+    from blackman_harris_win_tpu.model import golden, native
+    from blackman_harris_win_tpu.utils.profiling import (
+        CHIP_PEAKS,
+        cordic_window_int_ops,
+    )
     from blackman_harris_win_tpu.windows import catalog
 
     pw, w = 26, 32
@@ -51,15 +65,24 @@ def main():
         )
         return s
 
-    # correctness spot-check vs the exact scalar golden model
+    # correctness gate: random 4096-sample block vs the native C++ oracle
+    # (seeded per run), plus Python-golden spot checks
+    seed = int(time.time()) & 0xFFFFFF
+    n0 = int(np.random.default_rng(seed).integers(0, (1 << pw) - 4096))
+
     @jax.jit
-    def first_block():
-        n = jnp.arange(4096, dtype=jnp.int32)
+    def check_block(b0):
+        n = b0 + jnp.arange(4096, dtype=jnp.int32)
         return window_values(n, coeffs_q, spec)
 
-    blk = np.asarray(first_block())
-    for i in (0, 1, 1234, 4095):
-        assert int(blk[i]) == golden.win_cosine_sum_hls(i, coeffs_q, pw, w), i
+    blk = np.asarray(check_block(jnp.int32(n0))).astype(np.int64)
+    want = native.win_hls(n0 + np.arange(4096, dtype=np.int64), coeffs_q, pw, w)
+    assert (blk == want).all(), (
+        f"golden mismatch: seed={seed} n0={n0} "
+        f"first_bad={int(np.argmax(blk != want))}"
+    )
+    for i in (0, 1, 2047, 4095):
+        assert int(blk[i]) == golden.win_cosine_sum_hls(n0 + i, coeffs_q, pw, w)
 
     int(gen_all(jnp.int32(0)))  # compile + warm
     times = []
@@ -69,7 +92,10 @@ def main():
         times.append(time.time() - t0)
     dt = float(np.median(times))
 
-    msamps = reps_per_dispatch * (1 << pw) / dt / 1e6
+    nsamples = reps_per_dispatch * (1 << pw)
+    msamps = nsamples / dt / 1e6
+    int_ops = cordic_window_int_ops(nsamples, 7, w, wide=True)
+    vpu_frac = int_ops / dt / (CHIP_PEAKS["v5e"]["vpu_int_gops"] * 1e9)
     print(
         json.dumps(
             {
@@ -77,6 +103,11 @@ def main():
                 "value": round(msamps, 1),
                 "unit": "Msamples/s",
                 "vs_baseline": round(msamps / 400.0, 2),
+                "vpu_frac": round(vpu_frac, 3),
+                "hbm_frac": 0.0,
+                "accounting": "compute-roofline; checksum reduction on "
+                "device, window never written to HBM (see BENCH_NOTES.md)",
+                "golden_seed": seed,
             }
         )
     )

@@ -16,6 +16,9 @@ Configs covered (BASELINE.json):
      on-the-fly BH-7 window (fast mode) * on-device signal -> rfft -> |.|^2
      (the reference's end application: window core feeding an FFT front-end,
      SURVEY.md §1 L3, with no stored window table, README.md:2-3)
+  8. BH-7 N=64M @ W=32 under the RTL (VHDL) rounding contract — the actual
+     hardware contract of src/bh_win_3term.vhd:257-306, bit-exact on int32
+     lanes (kernels/pallas/window_kernel.py:window_values_rtl)
 """
 
 import json
@@ -42,6 +45,11 @@ def main():
     from blackman_harris_win_tpu.kernels.pallas.window_kernel import window_values
     from blackman_harris_win_tpu.kernels.window import make_window
     from blackman_harris_win_tpu.pipeline.spectral import welch_power, window_scale
+    from blackman_harris_win_tpu.utils.profiling import (
+        cordic_window_int_ops,
+        outer_window_int_ops,
+        roofline_fields,
+    )
     from blackman_harris_win_tpu.windows import catalog
 
     out = []
@@ -73,7 +81,9 @@ def main():
     t = _sync_time(lambda: gen_bh4(0))
     v2 = REP2 * L2 / t / 1e6
     out.append({"metric": "bh4_1M_w17_gen", "value": round(v2, 1),
-                "unit": "Msamples/s", "vs_fpga_400": round(v2 / 400, 2)})
+                "unit": "Msamples/s", "vs_fpga_400": round(v2 / 400, 2),
+                **roofline_fields(
+                    t, int_ops=cordic_window_int_ops(REP2 * L2, 4, 17, False))})
     print(json.dumps(out[-1]), flush=True)
 
     # --- config 3 is bench.py's headline (64M BH-7) ---
@@ -96,8 +106,11 @@ def main():
         return jnp.sum(welch_power(xv, w, nfft, hop))
 
     t = _sync_time(lambda: analyzer(x))
+    # HBM lower-bound model (BENCH_NOTES.md): x read + 2x-overlap frames
+    # write+read (f32) + one complex64 pass inside the FFT.
     out.append({"metric": "welch_bh4_1Mfft", "value": round(T / t / 1e6, 1),
-                "unit": "Msamples/s_in"})
+                "unit": "Msamples/s_in",
+                **roofline_fields(t, bytes_moved=52 * T)})
     print(json.dumps(out[-1]), flush=True)
 
     # --- config 5: SDR chain throughput (16-ch channelizer + discriminator) ---
@@ -127,7 +140,8 @@ def main():
     spec6 = WindowSpec(pw6, 32, overflow="wrap")
     q6 = catalog.get("bh7").quantized(32)
     m6 = 11
-    rows6 = 1 << 11          # block = rows * 2^m6 = 4M samples
+    rows6 = 1 << 12          # block = rows * 2^m6 = 8M samples (+18% vs 4M,
+    #                          bench_fastmode_probe.py variant D)
     blk6 = rows6 << m6
     nb6 = (1 << pw6) // blk6
     reps6 = 8                # windows per dispatch (amortize tunnel latency)
@@ -144,7 +158,9 @@ def main():
     t = _sync_time(lambda: gen_outer(jnp.int32(0)))
     v6 = reps6 * (1 << pw6) / t / 1e6
     out.append({"metric": "bh7_w32_64M_gen_fastmode", "value": round(v6, 1),
-                "unit": "Msamples/s", "vs_fpga_400": round(v6 / 400, 2)})
+                "unit": "Msamples/s", "vs_fpga_400": round(v6 / 400, 2),
+                **roofline_fields(
+                    t, int_ops=outer_window_int_ops(reps6 * (1 << pw6), 7))})
     print(json.dumps(out[-1]), flush=True)
 
     # --- config 7: fused gen+FFT — 64M-pt windowed power spectrum, one
@@ -163,8 +179,47 @@ def main():
         return jnp.sum(p)
 
     t = _sync_time(lambda: fused_spectrum(x7))
+    # HBM lower-bound model (BENCH_NOTES.md): x read + windowed f32 rw +
+    # one complex64 pass inside the 64M rFFT.
     out.append({"metric": "fused_gen_fft_64M", "value": round(n7 / t / 1e6, 1),
-                "unit": "Msamples/s_in"})
+                "unit": "Msamples/s_in",
+                **roofline_fields(t, bytes_moved=28 * n7)})
+    print(json.dumps(out[-1]), flush=True)
+
+    # --- config 8: BH-7 64M @ W=32, RTL (VHDL) rounding contract ---
+    from blackman_harris_win_tpu.model import native
+
+    spec8 = WindowSpec(pw6, 32, rounding="rtl", overflow="wrap")
+    q8 = catalog.get("bh7").quantized(32)
+    blk8 = 1 << 22
+    nb8 = (1 << pw6) // blk8
+    reps8 = 2
+
+    @jax.jit
+    def gen_rtl(seed):
+        def body(acc, i):
+            n = (i & (nb8 - 1)) * blk8 + jnp.arange(blk8, dtype=jnp.int32)
+            return acc + jnp.sum(window_values(n, q8, spec8)), None
+        s_, _ = jax.lax.scan(
+            body, seed, jnp.arange(reps8 * nb8, dtype=jnp.int32))
+        return s_
+
+    # in-bench golden gate: one 2048-sample block vs the native RTL oracle
+    blk_chk = np.asarray(
+        jax.jit(lambda: window_values(
+            (1 << 20) + jnp.arange(2048, dtype=jnp.int32), q8, spec8))()
+    ).astype(np.int64)
+    want = native.win_rtl((1 << 20) + np.arange(2048, dtype=np.int64),
+                          q8, pw6, 32, 1)
+    assert (blk_chk == want).all(), "RTL golden mismatch"
+
+    t = _sync_time(lambda: gen_rtl(jnp.int32(0)))
+    v8 = reps8 * (1 << pw6) / t / 1e6
+    out.append({"metric": "bh7_w32_64M_gen_rtl_contract", "value": round(v8, 1),
+                "unit": "Msamples/s", "vs_fpga_400": round(v8 / 400, 2),
+                **roofline_fields(
+                    t, int_ops=cordic_window_int_ops(
+                        reps8 * (1 << pw6), 7, 32, True))})
     print(json.dumps(out[-1]), flush=True)
 
 

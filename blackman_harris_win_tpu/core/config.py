@@ -89,7 +89,7 @@ class WindowSpec:
     rounding: str = "hls"
     overflow: str = "saturate"
     precision: int = 1  # guard bits of the dds flavor (rtl mode)
-    lut_size: int = 10  # taylor path ROM depth (src/win_selector.vhd:68)
+    lut_size: int = 9  # taylor path ROM depth default (src/win_selector.vhd:68)
 
     def __post_init__(self):
         if self.sin_type not in VALID_SIN_TYPES:

@@ -138,7 +138,6 @@ def _window_hls(n, coeffs_q, spec: WindowSpec):
 
     phase_dt = _int_lane(pw + 3)
     n = jnp.asarray(n, phase_dt)
-    mask = (1 << pw) - 1
 
     acc = jnp.full(n.shape, int(coeffs_q[0]), pdt)
     shift = w - 2 if spec.sin_type == "cordic" else w - 1
@@ -171,7 +170,6 @@ def _window_rtl(n, coeffs_q, spec: WindowSpec):
 
     phase_dt = _int_lane(pw + 3)
     n = jnp.asarray(n, phase_dt)
-    mask = (1 << pw) - 1
 
     bs = []
     for k in range(1, nterms):

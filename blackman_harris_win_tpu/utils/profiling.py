@@ -90,6 +90,28 @@ def cordic_window_int_ops(n_samples: int, n_terms: int, data_width: int,
     return n_samples * (k * data_width * per_iter + k * per_prod + n_terms)
 
 
+def outer_window_int_ops(n_samples: int, n_terms: int) -> int:
+    """Analytic op-count model of the outer-product fast mode
+    (kernels/outerwin.py): per sample and harmonic, one fused
+    ``mulsub_shift30`` (2 x _mul_parts30 cross terms + combine ~ 33 VPU ops
+    after XLA CSEs the per-row/per-column 15-bit limb splits) plus the
+    accumulate."""
+    return n_samples * ((n_terms - 1) * 33 + 2)
+
+
+def roofline_fields(seconds: float, int_ops: int = 0, bytes_moved: int = 0,
+                    chip: str = "v5e") -> dict:
+    """The bench JSON roofline fields (BENCH_NOTES.md documents the op/byte
+    models behind each config)."""
+    peaks = CHIP_PEAKS[chip]
+    return {
+        "vpu_frac": round(int_ops / seconds / (peaks["vpu_int_gops"] * 1e9), 3)
+        if int_ops else 0.0,
+        "hbm_frac": round(bytes_moved / seconds / (peaks["hbm_gbps"] * 1e9), 3)
+        if bytes_moved else 0.0,
+    }
+
+
 @contextlib.contextmanager
 def trace(dir_path: str):
     """jax.profiler trace capture contextmanager (view with tensorboard or

@@ -106,3 +106,25 @@ class TestTaylorWindows:
         peak = out.max()
         # final round in 2-term RTL divides by 2: peak ~ 2^(W-1)/2
         assert abs(peak - 2.0 ** (w - 2)) < 2 ** (w - 6), peak
+
+
+class TestCounterEquivalence:
+    def test_counter_equivalence_periodicity(self):
+        """PARITY.md quirk pin: the reference taylor_sincos free-runs an
+        internal counter (src/taylor_sincos.vhd:144-153 — no phase input);
+        the repo's index argument is that counter's state, so outputs must
+        be periodic mod 2^PW exactly as the wrapping counter is, and a
+        sequential index sweep IS the reference's output stream."""
+        pw, w, ls = 10, 16, 8
+        n = np.arange(1 << pw)
+        c0, s0 = kt.taylor_sincos(n, pw, w, ls)
+        # counter wrap: samples [2^PW, 2*2^PW) repeat the first period
+        c1, s1 = kt.taylor_sincos(n + (1 << pw), pw, w, ls)
+        np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+        np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+        # and an arbitrary later window of the stream equals the counter
+        # state slice (stream position 3*2^PW + 100 == counter 100)
+        off = 3 * (1 << pw) + 100
+        c2, s2 = kt.taylor_sincos(np.arange(off, off + 64), pw, w, ls)
+        np.testing.assert_array_equal(np.asarray(c2), np.asarray(c0)[100:164])
+        np.testing.assert_array_equal(np.asarray(s2), np.asarray(s0)[100:164])
