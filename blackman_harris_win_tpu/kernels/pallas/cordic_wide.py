@@ -230,14 +230,84 @@ def _quadrant_fix_out_i32(q, dat_c, dat_s, w: int):
     return c, s
 
 
+def _cos_sin_dds_r2s(phase, pw: int, w: int, p: int):
+    """Radix-2^s fast path of the dds flavor for internal width
+    w + p in {33, 34} — the RTL window cores' production regime (W=32,
+    PRECISION 1-2).  Same trick as window_kernel._cos_wide4: with
+    s = iw - 32, state v = h*2^s + l where h is a *native int32* whose
+    wraparound IS the iw-bit register wrap (h spans bits s..iw-1 = 32 bits)
+    and l in [0, 2^s).  Steering multiplies by d = +-1; z needs no limbs:
+
+    - |z| < 2^(iw-2) always (|z0| < 2^(iw-2) since init_t < 2^(pw-2),
+      src/cordic_dds.vhd:179; lut[0] = 2^(iw-3) and |z'| <= max(|z|, lut)).
+      For iw=33 that is < 2^31: plain int32 everywhere.  For iw=34, z0 >= 0
+      (init_t is masked non-negative) so iteration 0's update is the static
+      z1 = z0 - lut[0] in [-2^31, 2^31): computed on z0>>2 (init_z's low 2
+      bits are provably 0 — both init shifts are >= p >= 2) then rescaled,
+      exactly the _cos_wide4 z-fold.
+    - iteration 0 is fully static: z0 >= 0 means x1 = gain, y1 = +gain
+      (y0 = 0), so the loop starts at i = 1.
+
+    Bit-exact vs cordic_dds_i32 / the golden model (full-period tests).
+    ~2x fewer VPU ops per iteration than the radix-2^24 limb path.
+    """
+    iw = w + p
+    s = iw - 32
+    if s not in (1, 2):
+        raise ValueError("radix-2^s dds path requires w + p in {33, 34}")
+    if pw > 30:
+        raise ValueError("int32-lane CORDIC supports phase_width <= 30")
+    ms = (1 << s) - 1
+    luts = [LUT_ATAN_PI[i] >> (49 - w - p) for i in range(w - 1)]
+    gain = GAIN48_HALF >> (49 - w - p)
+
+    un = jnp.asarray(phase, jnp.int32) & ((1 << pw) - 1)
+    q = un >> (pw - 2)
+    init_t = un & ((1 << (pw - 2)) - 1)  # non-negative, vhd:179
+    # init_z's value, carried >> s (fits int32: < 2^(iw-2-s) <= 2^30)
+    if pw >= w:
+        zh0 = (init_t >> (pw - w)) << (p - s)
+    else:
+        zh0 = init_t << (w - pw + p - s)
+
+    # iteration 0 (z0 >= 0): x1 = gain, y1 = gain, z1 = z0 - lut[0]
+    gh, gl = gain >> s, gain & ms
+    xh = jnp.full(un.shape, gh, jnp.int32)
+    xl = jnp.full(un.shape, gl, jnp.int32)
+    yh, yl = xh, xl
+    z = (zh0 - (luts[0] >> s)) << s  # exact: lut[0] = 2^(iw-3), low s bits 0
+
+    for i in range(1, w - 1):
+        d = (z >> 31) | 1
+        if i < s:  # only i=1, s=2
+            ysh, ysl = yh >> 1, ((yh & 1) << 1) | (yl >> 1)
+            xsh, xsl = xh >> 1, ((xh & 1) << 1) | (xl >> 1)
+        else:
+            ysh, ysl = yh >> i, (yh >> (i - s)) & ms
+            xsh, xsl = xh >> i, (xh >> (i - s)) & ms
+        t1 = xl - d * ysl
+        xh, xl = xh - d * ysh + (t1 >> s), t1 & ms
+        t2 = yl + d * xsl
+        yh, yl = yh + d * xsh + (t2 >> s), t2 & ms
+        z = z - d * luts[i]
+
+    # dat = wrap(v >> p, w): v >> p == h >> (p - s) exactly (l < 2^s <= 2^p)
+    dat_c = _wrap_w(xh >> (p - s), w)
+    dat_s = _wrap_w(yh >> (p - s), w)
+    return _quadrant_fix_out_i32(q, dat_c, dat_s, w)
+
+
 def cordic_dds_i32(phase, pw: int, w: int, p: int = 1):
     """Bit-exact ``src/cordic_dds.vhd`` on int32 lanes (W+P-bit state as limb
     pairs when W+P > 32): PRECISION guard bits, W-1 iterations, output-side
     quadrant fix.  This is the RTL window cores' sine source
-    (src/bh_win_3term.vhd:185-201)."""
+    (src/bh_win_3term.vhd:185-201).  Internal widths 33/34 take the radix-2^s
+    fast path (:func:`_cos_sin_dds_r2s`)."""
     if w > 32:
         raise ValueError("int32-lane output supports data_width <= 32")
     iw = w + p
+    if iw in (33, 34):
+        return _cos_sin_dds_r2s(phase, pw, w, p)
     o = _lane(iw)
     luts = [o.const(LUT_ATAN_PI[i] >> (49 - w - p)) for i in range(w - 1)]
     gain = o.const(GAIN48_HALF >> (49 - w - p))

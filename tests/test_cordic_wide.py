@@ -63,7 +63,15 @@ class TestPrerotatedFlavorsFullPeriod:
 class TestOutputFixFlavorsFullPeriod:
     """dds / hls wide datapaths on int32 lanes == native oracle."""
 
-    @pytest.mark.parametrize("pw,w,p", [(14, 32, 1), (12, 31, 2), (11, 32, 7)])
+    @pytest.mark.parametrize(
+        "pw,w,p",
+        [
+            (14, 32, 1),  # iw=33: radix-2 fast path
+            (14, 32, 2),  # iw=34: radix-4 fast path (i<s shift branch)
+            (12, 31, 2),  # iw=33 at w=31
+            (11, 32, 7),  # iw=39: generic radix-2^24 limb path
+        ],
+    )
     def test_dds(self, pw, w, p):
         n = _full(pw)
         c, s = cwide.cordic_dds_i32(_i32(n), pw, w, p)
