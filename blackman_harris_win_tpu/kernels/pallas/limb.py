@@ -168,6 +168,35 @@ def mul_shift_rh(a_int: int, c, w: int):
     return hi_q + (s >> 30), (s >> 29) & 1
 
 
+def mul_small_shift(a, c, shift: int):
+    """Exact ``(a * c) >> shift`` on int32 lanes for a NON-NEGATIVE small
+    multiplier ``a < 2^20`` and ``|c| < 2^31``, with ``shift >= 20`` and the
+    result fitting int32.
+
+    This is the Taylor-correction MACC's product (``mpi * sin``,
+    src/tay1_order.vhd:506-599: mpi = round(pi*2^(17-STAGE))*acnt < pi*2^18)
+    at data widths 31/32 where ``mul_shift30``'s |c| < 2^30 bound fails.
+    Splits a into 10-bit and c into 15-bit limbs; every partial product and
+    carry layer fits int32 (|A1| < 2^26, |u| < 2^26 + 2^20):
+
+        P = A1*2^25 + A0*2^15 + B1*2^10 + B0,  remainders layered in [0, 2^k)
+    """
+    if shift < 20:
+        raise ValueError("mul_small_shift requires shift >= 20")
+    a1, a0 = a >> 10, a & 1023
+    ch, cl = c >> 15, c & 0x7FFF
+    b0 = a0 * cl
+    t = a1 * cl + (b0 >> 10)      # units 2^10
+    u = a0 * ch + (t >> 5)        # units 2^15
+    v = a1 * ch + (u >> 10)       # units 2^25
+    if shift >= 25:
+        return v >> (shift - 25)
+    # 20 <= shift < 25: recover the sub-2^25 remainder R (non-negative)
+    low15 = ((t & 31) << 10) | (b0 & 1023)
+    r = ((u & 1023) << 15) | low15
+    return (v << (25 - shift)) + (r >> shift)
+
+
 def mulsub_shift30(a, c, b, d, round: bool = False, shift: int = 30):
     """Exact ``(a*c - b*d) >> shift`` (round-half-up with ``round=True``) for
     int32 inputs with |.| < 2^30, shift in {30, 31, 32}, the result fitting

@@ -94,31 +94,22 @@ def _tay1(cos_v, sin_v, acnt, stage: int, val_shift: int, w: int):
     identically (low X bits of the accumulator come solely from the
     product), so only a multiply-shift primitive is needed.
     """
-    import jax
-
-    from .pallas.limb import mul_shift30
+    from .pallas.limb import mul_shift30, mul_small_shift
 
     xshift = 19 + val_shift
     ramb_pi = int(math.floor(math.pi * 2.0 ** (17 - stage) + 0.5))
 
-    use_int64 = w > 30
-    if use_int64 and not jax.config.read("jax_enable_x64"):
-        raise ValueError(
-            "taylor correction at data_width > 30 needs int64 lanes; enable "
-            "jax_enable_x64 (CPU) or use data_width <= 30 on TPU"
-        )
-
-    if use_int64:
-        pdt = jnp.int64
-        mpi = ramb_pi * acnt.astype(pdt)
-        cos_l, sin_l = cos_v.astype(pdt), sin_v.astype(pdt)
-        mshift = lambda a, c: (a * c) >> xshift
-        sw = 64 - w
-    else:
-        mpi = (ramb_pi * acnt).astype(jnp.int32)  # < 2^24
-        cos_l, sin_l = cos_v.astype(jnp.int32), sin_v.astype(jnp.int32)
+    # All widths run on int32 lanes (TPU-native): |mpi| < pi*2^18 always
+    # (ramb_pi*acnt < pi*2^(20-PW+LS)*2^(PW-LS-2)), so w <= 30 uses the
+    # 15-bit-limb mul_shift30 (|sin| < 2^29) and w in {31, 32} the
+    # small-multiplier decomposition (|sin| < 2^31).
+    mpi = (ramb_pi * acnt).astype(jnp.int32)
+    cos_l, sin_l = cos_v.astype(jnp.int32), sin_v.astype(jnp.int32)
+    if w <= 30:
         mshift = lambda a, c: mul_shift30(a, c, xshift)
-        sw = 32 - w
+    else:
+        mshift = lambda a, c: mul_small_shift(a, c, xshift)
+    sw = 32 - w
 
     wrap_w = lambda v: (v << sw) >> sw
 

@@ -121,12 +121,28 @@ def window_samples(n, coeffs_q, spec: WindowSpec):
     return _window_rtl(n, coeffs_q, spec)
 
 
+def _i32_products_ok(prod_bits: int, w: int) -> bool:
+    """True when int64 lanes are unavailable but the per-term products can
+    run exactly on int32 via the 15-bit-limb decomposition: needs the cos
+    magnitude < 2^30 (w <= 30 for the full-scale Taylor source) and the
+    shifted term fitting int32."""
+    return (
+        prod_bits > 32
+        and not jax.config.read("jax_enable_x64")
+        and w <= 30
+    )
+
+
 def _window_hls(n, coeffs_q, spec: WindowSpec):
     """HLS semantics: ``w[n] = a0 - m1 + m2 - ...``,
     ``m_k = (a_k * cos_k) >> (W-2)`` (hls/windows/win_function.cpp:361-375).
 
     The product a_k(W-1 bits) * cos(W-2 bits magnitude) needs ~2W-3 bits:
-    computed in an int64 lane when 2W-3 > 31, else int32.
+    an int64 lane when available, else (TPU) the exact 15-bit-limb int32
+    product (``limb.mul_shift30``) — every shifted term m_k < 2^(w-1) and
+    the accumulate only ever feeds a <= w-bit wrap, so int32 lanes carry the
+    TAYLOR-source windows too (w <= 30; wide-state CORDIC configs route to
+    kernels.pallas.window_values before reaching here).
     """
     pw, w = spec.phase_width, spec.data_width
     # Exact product width: |a_k| * cos magnitude + sign (cos amplitude is
@@ -134,7 +150,8 @@ def _window_hls(n, coeffs_q, spec: WindowSpec):
     cos_bits = (w - 2) if spec.sin_type == "cordic" else (w - 1)
     amax = max(abs(int(c)) for c in coeffs_q)
     prod_bits = amax.bit_length() + cos_bits + 1
-    pdt = _int_lane(max(prod_bits, w + 1))
+    i32_prod = _i32_products_ok(prod_bits, w)
+    pdt = jnp.int32 if i32_prod else _int_lane(max(prod_bits, w + 1))
 
     phase_dt = _int_lane(pw + 3)
     n = jnp.asarray(n, phase_dt)
@@ -143,7 +160,12 @@ def _window_hls(n, coeffs_q, spec: WindowSpec):
     shift = w - 2 if spec.sin_type == "cordic" else w - 1
     for k in range(1, len(coeffs_q)):
         c = _harmonic_cos(n, k, spec)
-        m = (jnp.asarray(coeffs_q[k], pdt) * c.astype(pdt)) >> shift
+        if i32_prod:
+            from .pallas.limb import mul_shift30
+
+            m = mul_shift30(jnp.int32(coeffs_q[k]), c.astype(jnp.int32), shift)
+        else:
+            m = (jnp.asarray(coeffs_q[k], pdt) * c.astype(pdt)) >> shift
         acc = acc - m if k % 2 == 1 else acc + m
 
     if spec.overflow == "saturate":
@@ -164,7 +186,9 @@ def _window_rtl(n, coeffs_q, spec: WindowSpec):
     nterms = len(coeffs_q)
     cos_bits = (w - 2) if spec.sin_type == "cordic" else (w - 1)
     amax = max(abs(int(c)) for c in coeffs_q)
-    pdt = _int_lane(max(amax.bit_length() + cos_bits + 1, w + 2))
+    prod_bits = amax.bit_length() + cos_bits + 1
+    i32_prod = _i32_products_ok(prod_bits, w)
+    pdt = jnp.int32 if i32_prod else _int_lane(max(prod_bits, w + 2))
     nb = jnp.iinfo(pdt).bits
     wrap = lambda v, width: (v << (nb - width)) >> (nb - width)
 
@@ -174,8 +198,14 @@ def _window_rtl(n, coeffs_q, spec: WindowSpec):
     bs = []
     for k in range(1, nterms):
         c = _harmonic_cos(n, k, spec)
-        p = jnp.asarray(coeffs_q[k], pdt) * c.astype(pdt)
-        r = wrap(p >> (w - 2), w + 1)  # mult_p(2W-2 downto W-2)
+        if i32_prod:
+            from .pallas.limb import mul_shift30
+
+            # the (w+1)-bit slice fits int32 for w <= 30 (|r| < 2^w)
+            r = mul_shift30(jnp.int32(coeffs_q[k]), c.astype(jnp.int32), w - 2)
+        else:
+            p = jnp.asarray(coeffs_q[k], pdt) * c.astype(pdt)
+            r = wrap(p >> (w - 2), w + 1)  # mult_p(2W-2 downto W-2)
         bs.append(wrap((r >> 1) + (r & 1), w))  # round-half-up off bit 0
 
     a0 = jnp.asarray(coeffs_q[0], pdt)

@@ -207,6 +207,48 @@ class TestDispatchWithoutX64:
             j = int(np.where(n == ni)[0][0])
             assert int(got[j]) == want, ni
 
+    @pytest.mark.parametrize("rounding", ["hls", "rtl"])
+    @pytest.mark.parametrize("name,w", [("hann", 17), ("bh3_hls", 24)])
+    def test_taylor_window_dispatch(self, rounding, name, w):
+        # TAYLOR-source windows previously needed int64 product lanes even
+        # at w=17; now exact via limb.mul_shift30 on int32.
+        pw, ls = 12, 9
+        spec = WindowSpec(pw, w, sin_type="taylor", rounding=rounding,
+                          lut_size=ls, overflow="wrap")
+        q = catalog.get(name).quantized(w)
+        n = np.arange(0, 1 << pw, 17, dtype=np.int32)
+        got = np.asarray(kw.window_samples(jnp.asarray(n), q, spec))
+
+        def gold(nn):
+            coeffs = tuple(int(c) for c in q)
+            acc = coeffs[0]
+            bs = []
+            for k in range(1, len(coeffs)):
+                pwk = pw - (k - 1)
+                gc, _ = golden.taylor_sincos(nn & ((1 << pwk) - 1), pwk, w, ls)
+                if rounding == "hls":
+                    bs.append((coeffs[k] * gc) >> (w - 1))
+                else:
+                    p = coeffs[k] * gc
+                    from blackman_harris_win_tpu.core.fixedpoint import wrap
+                    r = wrap(p >> (w - 2), w + 1)
+                    bs.append(wrap((r >> 1) + (r & 1), w))
+            from blackman_harris_win_tpu.core.fixedpoint import wrap
+            if rounding == "hls":
+                for k, m in enumerate(bs, start=1):
+                    acc = acc - m if k % 2 == 1 else acc + m
+                return wrap(acc, w)
+            if len(coeffs) == 2:
+                pp = wrap(coeffs[0] - bs[0], w + 1)
+                return wrap((pp >> 1) + (pp & 1), w)
+            for k, b in enumerate(bs, start=1):
+                acc = acc - b if k % 2 == 1 else acc + b
+            pp = wrap(acc, w + 2)
+            return wrap((pp >> 2) + ((pp >> 1) & 1), w)
+
+        for j in range(0, len(n), 13):
+            assert int(got[j]) == gold(int(n[j])), (rounding, name, int(n[j]))
+
     def test_atan2_dispatch(self):
         rng = np.random.default_rng(3)
         x = rng.integers(-(1 << 15), 1 << 15, size=512).astype(np.int32)

@@ -74,6 +74,22 @@ class TestLimb:
                 va[i] - vb[i], iw
             )
 
+    @pytest.mark.parametrize("shift", [20, 23, 25, 28, 35])
+    def test_mul_small_shift_exact(self, shift):
+        rng = np.random.default_rng(100 + shift)
+        a = rng.integers(0, 1 << 20, size=512)
+        c = rng.integers(-(1 << 31) + 1, 1 << 31, size=512)
+        got = limb.mul_small_shift(
+            jnp.asarray(a, jnp.int32), jnp.asarray(c, jnp.int32), shift
+        )
+        for i in range(512):
+            want = (int(a[i]) * int(c[i])) >> shift
+            assert int(got[i]) == want, (shift, int(a[i]), int(c[i]))
+
+    def test_mul_small_shift_rejects_small_shift(self):
+        with pytest.raises(ValueError):
+            limb.mul_small_shift(jnp.int32(1), jnp.int32(1), 19)
+
     @pytest.mark.parametrize("shift", [22, 28, 30, 32])
     def test_mul_shift30_exact(self, shift):
         rng = np.random.default_rng(shift)

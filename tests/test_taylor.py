@@ -128,3 +128,33 @@ class TestCounterEquivalence:
         c2, s2 = kt.taylor_sincos(np.arange(off, off + 64), pw, w, ls)
         np.testing.assert_array_equal(np.asarray(c2), np.asarray(c0)[100:164])
         np.testing.assert_array_equal(np.asarray(s2), np.asarray(s0)[100:164])
+
+
+class TestWideTaylorInt32Lanes:
+    """data_width 31/32 Taylor correction on pure int32 lanes
+    (limb.mul_small_shift) — previously int64-only (raised on TPU)."""
+
+    @pytest.mark.parametrize("pw,w,ls", [(14, 31, 9), (14, 32, 10), (12, 32, 8)])
+    def test_full_period_vs_native(self, pw, w, ls):
+        from blackman_harris_win_tpu.model import native
+
+        native.build()
+        n = np.arange(1 << pw)
+        jc, js = kt.taylor_sincos(n, pw, w, ls)
+        nc, ns = native.taylor_sincos(n, pw, w, ls)
+        np.testing.assert_array_equal(np.asarray(jc, np.int64), nc)
+        np.testing.assert_array_equal(np.asarray(js, np.int64), ns)
+
+    def test_runs_without_x64(self):
+        import jax
+
+        jax.config.update("jax_enable_x64", False)
+        try:
+            c, s = kt.taylor_sincos(np.arange(0, 1 << 12, 7, dtype=np.int32),
+                                    12, 32, 8)
+            for j in (0, 11, 222, 333):
+                n = 7 * j
+                gc, gs = golden.taylor_sincos(n, 12, 32, 8)
+                assert (int(c[j]), int(s[j])) == (gc, gs), n
+        finally:
+            jax.config.update("jax_enable_x64", True)
