@@ -119,7 +119,10 @@ def main():
 
     C, tpb = 16, 8
     proto = design_prototype(C, tpb)
-    Ts = C * (1 << 17)
+    # 64M-sample input: below ~16M the ~25-30 ms tunnel dispatch floor
+    # dominates and the bench measures latency, not the chain (stage probe
+    # in BENCH_NOTES.md: every stage of a 2M-sample run costs ~25 ms flat)
+    Ts = C * (1 << 22)
     xs = jax.jit(
         lambda: jax.random.normal(jax.random.PRNGKey(1), (Ts,), jnp.float32)
     )()
