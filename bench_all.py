@@ -91,7 +91,9 @@ def main():
     # --- config 4: Welch analyzer, BH-4 window, 1M-pt frames ---
     nfft, hop = 1 << 20, 1 << 19
     spec4 = WindowSpec(20, 17, overflow="saturate")
-    T = 16 * nfft
+    # 128 frames: at 16 frames the ~25-30 ms dispatch floor dominates
+    # (size sweep in BENCH_NOTES.md: 16/64/128 frames -> 467/1036/1312)
+    T = 128 * nfft
     # synthesize the input ON DEVICE (host->device transfers crawl through
     # the tunnel at ~0.1 MB/s)
     x = jax.jit(
