@@ -22,19 +22,14 @@ Configs covered (BASELINE.json):
 """
 
 import json
-import time
 
 import numpy as np
 
 
 def _sync_time(fn, reps=3):
-    float(np.asarray(fn()).sum())
-    ts = []
-    for _ in range(reps):
-        t0 = time.time()
-        float(np.asarray(fn()).sum())
-        ts.append(time.time() - t0)
-    return float(np.median(ts))
+    from blackman_harris_win_tpu.utils.profiling import host_synced_seconds
+
+    return host_synced_seconds(fn, reps=reps)
 
 
 def main():

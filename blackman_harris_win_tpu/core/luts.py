@@ -92,6 +92,20 @@ def scaled_internal_width(data_width: int) -> int:
     return SEL_SIZE[data_width - 8]
 
 
+def hls_atan_lut(data_width: int) -> list[int]:
+    """The HLS flavor's quantized atan LUT: entry i is the ap_int<W+2> value
+    of ``(LUT_ATAN_PI[i] >> (48 - W - 2 + 1)) & 0xFFFFFFFFFF``
+    (``hls/windows/win_function.cpp:78``).  Single source of this contract
+    for kernels/cordic.py, pallas/window_kernel.py and pallas/cordic_wide.py."""
+    from .fixedpoint import wrap
+
+    w = data_width
+    return [
+        wrap((LUT_ATAN_PI[i] >> (47 - w)) & 0xFFFFFFFFFF, w + 2)
+        for i in range(w - 1)
+    ]
+
+
 def regenerate_atan_lut(turn_div: int) -> list[int]:
     """Recompute the 48-bit atan LUT from first principles.
 

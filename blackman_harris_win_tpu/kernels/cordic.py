@@ -129,14 +129,11 @@ def cordic_hls(phase, spec: CordicSpec):
     wrap_iw = _wrapper(iw, nbits)
     wrap_w = _wrapper(w, nbits)
 
-    from ..core.fixedpoint import wrap as pywrap
+    from ..core.luts import hls_atan_lut
 
     # lut_angle[i] = (lut_table[i] >> (48-W-1)) & 0xFFFFFFFFFF into ap_int<W+2>
     # (win_function.cpp:78)
-    luts = [
-        jnp.asarray(pywrap((LUT_ATAN_PI[i] >> (47 - w)) & 0xFFFFFFFFFF, iw), dt)
-        for i in range(w - 1)
-    ]
+    luts = [jnp.asarray(v, dt) for v in hls_atan_lut(w)]
     gain = jnp.asarray(GAIN48_QUARTER >> (46 - w), dt)
 
     if pw + 1 > jnp.iinfo(dt).bits:

@@ -30,6 +30,7 @@ from ...core.luts import (
     GAIN48_QUARTER,
     LUT_ATAN_2PI,
     LUT_ATAN_PI,
+    hls_atan_lut,
     scaled_internal_width,
 )
 from . import limb
@@ -425,10 +426,7 @@ def cordic_hls_i32(phase, pw: int, w: int):
         raise ValueError("int32-lane output supports data_width <= 32")
     iw = w + 2
     o = _lane(iw)
-    luts = [
-        o.const(pywrap((LUT_ATAN_PI[i] >> (47 - w)) & 0xFFFFFFFFFF, iw))
-        for i in range(w - 1)
-    ]
+    luts = [o.const(v) for v in hls_atan_lut(w)]
     gain = o.const(GAIN48_QUARTER >> (46 - w))
 
     un, q = _phase_front(phase, pw)

@@ -30,18 +30,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...core.config import WindowSpec
-from ...core.fixedpoint import wrap as pywrap
-from ...core.luts import GAIN48_QUARTER, LUT_ATAN_PI
+from ...core.luts import GAIN48_QUARTER, hls_atan_lut as _hls_luts
 from . import limb
-
-
-def _hls_luts(w: int):
-    """Quantized atan LUT of the HLS flavor (win_function.cpp:78)."""
-    iw = w + 2
-    return [
-        pywrap((LUT_ATAN_PI[i] >> (47 - w)) & 0xFFFFFFFFFF, iw)
-        for i in range(w - 1)
-    ]
 
 
 def _quadrant_and_z0(n, pw: int, w: int):

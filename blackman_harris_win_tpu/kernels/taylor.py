@@ -42,6 +42,11 @@ def taylor_sincos(n, phase_width: int, data_width: int, lut_size: int):
     pw, w, ls = phase_width, data_width, lut_size
     if ls >= pw:
         raise ValueError("LUT_SIZE must be < PHASE_WIDTH (src/win_selector.vhd:68)")
+    if w > 32:
+        # the int32-lane datapath would silently truncate the ROM values;
+        # fail loudly instead (project rule: guarded or lane-clean).  The
+        # reference's DSP48 MACC datapaths top out at 32-bit outputs too.
+        raise ValueError("taylor_sincos supports data_width <= 32")
 
     rom = jnp.asarray(_rom(ls, w))
     dt = rom.dtype

@@ -95,7 +95,7 @@ def window_samples(n, coeffs_q, spec: WindowSpec):
             spec.sin_type == "cordic"
             and not jax.config.read("jax_enable_x64")
             and w <= 32
-            and pw + 3 <= 32
+            and pw <= 30  # (k*n) int32 overflow is exact under the 2^pw mask
         ):
             amax = max(abs(int(c)) for c in coeffs_q)
             if max(amax.bit_length() + (w - 2) + 1, w + 3) > 32:
@@ -109,7 +109,7 @@ def window_samples(n, coeffs_q, spec: WindowSpec):
         spec.sin_type == "cordic"
         and not jax.config.read("jax_enable_x64")
         and w <= 32
-        and pw + 3 <= 32
+        and pw <= 30  # (k*n) int32 overflow is exact under the 2^pw mask
     ):
         amax = max(abs(int(c)) for c in coeffs_q)
         if max(amax.bit_length() + (w - 2) + 1, w + 2, w + spec.precision) > 32:

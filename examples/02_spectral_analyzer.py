@@ -33,3 +33,4 @@ print(f"neighbor tone bin {k0+2}..{k0+3}: {db[k0+2]:.1f} / {db[k0+3]:.1f} dB")
 far = np.r_[db[: k0 - 40], db[k0 + 44 :]]
 print(f"far-field floor: {far.max():.1f} dB (window supports -92)")
 assert far.max() < -60  # the weak tone resolved, leakage contained
+print("spectral analyzer example: OK")

@@ -49,3 +49,4 @@ fpk = int(np.argmax(spec[1:])) + 1
 f_msg = fpk / len(d5) / C  # cycles per input sample
 print(f"recovered message tone ~{f_msg:.5f} cycles/sample (sent 0.00030)")
 assert abs(f_msg - 0.0003) < 5e-5
+print("sdr chain example: OK")

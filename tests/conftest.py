@@ -15,8 +15,13 @@ import os
 if os.environ.get("BHW_TPU_TEST") == "1":
     # Opt-in real-TPU lane (tests/test_tpu_lane.py): keep the axon backend
     # and leave x64 OFF — the production TPU regime (int32 lanes only).
-    # Run standalone; the tunnel is single-client.
+    # The collection hook below restricts the session to the TPU lane so a
+    # full-suite invocation with the flag set cannot point 400+ CPU-designed
+    # tests at the single-client tunnel.
     import jax  # noqa: F401
+
+    def pytest_collection_modifyitems(config, items):
+        items[:] = [i for i in items if "test_tpu_lane" in str(i.fspath)]
 else:
     os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")

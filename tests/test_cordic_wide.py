@@ -256,3 +256,32 @@ class TestDispatchWithoutX64:
         ja = np.asarray(kc.cordic_atan2(y, x, 16, 32), np.int64)
         for i in range(0, 512, 37):
             assert int(ja[i]) == golden.cordic_atan2(int(y[i]), int(x[i]), 16, 32)
+
+
+class TestPw30Routing:
+    """pw=30 (1G-point window) routes to the int32 paths without x64 —
+    the (k*n) int32 overflow is exact under the 2^pw mask."""
+
+    @pytest.fixture(autouse=True)
+    def _no_x64(self):
+        jax.config.update("jax_enable_x64", False)
+        try:
+            yield
+        finally:
+            jax.config.update("jax_enable_x64", True)
+
+    @pytest.mark.parametrize("rounding", ["hls", "rtl"])
+    def test_pw30_w32_window(self, rounding):
+        pw, w = 30, 32
+        spec = WindowSpec(pw, w, rounding=rounding, overflow="wrap")
+        q = catalog.get("bh7").quantized(w)
+        n = np.array([0, 1, (1 << 28) - 1, 1 << 28, (1 << 29) + 12345,
+                      (3 << 28) + 7, (1 << 30) - 1], dtype=np.int32)
+        got = np.asarray(kw.window_samples(jnp.asarray(n), q, spec))
+        coeffs = tuple(int(c) for c in q)
+        for j, nj in enumerate(n):
+            if rounding == "hls":
+                want = golden.win_cosine_sum_hls(int(nj), coeffs, pw, w)
+            else:
+                want = golden.win_cosine_sum_rtl(int(nj), coeffs, pw, w)
+            assert int(got[j]) == want, (rounding, int(nj))

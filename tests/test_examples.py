@@ -23,4 +23,4 @@ def test_example_runs(path, capsys):
     finally:
         sys.path.remove(str(path.parent))
     out = capsys.readouterr().out
-    assert "OK" in out or len(out) > 0
+    assert "OK" in out  # every example prints an explicit success marker

@@ -158,3 +158,8 @@ class TestWideTaylorInt32Lanes:
                 assert (int(c[j]), int(s[j])) == (gc, gs), n
         finally:
             jax.config.update("jax_enable_x64", True)
+
+    def test_rejects_width_over_32(self):
+        # the int32 datapath would silently truncate; must fail loudly
+        with pytest.raises(ValueError, match="data_width <= 32"):
+            kt.taylor_sincos(np.arange(8), 12, 34, 8)
