@@ -168,6 +168,31 @@ def mul_shift_rh(a_int: int, c, w: int):
     return hi_q + (s >> 30), (s >> 29) & 1
 
 
+def mul_wide_parts31(a_int: int, c):
+    """Exact ``(p31, b30)`` = ``((a_int * c) >> 31, bit 30 of a_int * c)``
+    for a STATIC ``|a_int| < 2^31`` and int32 lanes ``|c| < 2^31``.
+
+    Serves the full-scale Taylor-source window products at W = 32
+    (cos amplitude 2^31 - 1), where both operands exceed
+    :func:`_mul_parts30`'s bounds.  Both are halved (a = 2·ah + ea,
+    c = 2·ch + ec) so the core multiply fits, and the dropped bits re-enter
+    as exact additive terms:
+
+        P = 4·Q + 2·M + ea·ec,   Q = ah·ch = hi·2^30 + rem,
+        M = ah·ec + ea·ch  (|M| < 2^31),   T = rem + (M >> 1)  (|T| < 2^31)
+        P = hi·2^32 + 4·T + em,  em = 2(M & 1) + ea·ec  in [0, 4)
+        P >> 31 = 2·hi + (T >> 29);   bit30(P) = bit28(T)
+    """
+    ah, ea = a_int >> 1, a_int & 1
+    ch, ec = c >> 1, c & 1
+    hi, rem = _mul_parts30(jnp.int32(ah), ch)
+    m = ec * jnp.int32(ah)
+    if ea:
+        m = m + ch
+    t = rem + (m >> 1)
+    return 2 * hi + (t >> 29), (t >> 28) & 1
+
+
 def mul_small_shift(a, c, shift: int):
     """Exact ``(a * c) >> shift`` on int32 lanes for a NON-NEGATIVE small
     multiplier ``a < 2^20`` and ``|c| < 2^31``, with ``shift >= 20`` and the

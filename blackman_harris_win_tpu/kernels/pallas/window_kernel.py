@@ -196,21 +196,28 @@ def _cos_wide4(n, pw: int, w: int):
     return (c << sw) >> sw if sw else c
 
 
-def _rtl_term(coeff: int, c, w: int):
+def _rtl_term(coeff: int, c, w: int, full_scale_cos: bool = False):
     """One RTL product term: ``wrap(round_half_up_bit0(wrap((a_k * cos_k)
     >> (W-2), W+1)), W)`` (src/bh_win_3term.vhd:257-280) on int32 lanes.
 
-    The (w+1)-bit slice r fits int32 for w <= 31 (|r| < 2^w); at w in
-    {31, 32} with a wide product, ``limb.mul_shift_rh`` returns (r>>1, r&1)
-    directly so r itself is never materialized.
+    The (w+1)-bit slice r fits int32 for w <= 31 (|r| < 2^w); at the wide
+    end, ``limb.mul_shift_rh`` / ``limb.mul_wide_parts31`` return
+    (r>>1, r&1) directly so r itself is never materialized.
+    ``full_scale_cos``: the TAYLOR source's 2^(w-1) amplitude (vs the CORDIC
+    flavors' 2^(w-2)) — at w = 32 it exceeds mul_shift_rh's |c| bound and
+    takes the halved-operand routine instead.
     """
     coeff = int(coeff)
-    prod_bits = abs(coeff).bit_length() + (w - 2) + 1
+    cos_bits = (w - 1) if full_scale_cos else (w - 2)
+    prod_bits = abs(coeff).bit_length() + cos_bits + 1
     if prod_bits <= 31:
         r = (coeff * c) >> (w - 2)
         b = (r >> 1) + (r & 1)
+    elif full_scale_cos and w == 32:
+        rh, rl = limb.mul_wide_parts31(coeff, c)  # (P>>31, bit30) == (r>>1, r&1)
+        b = rh + rl
     elif w <= 30:
-        # |r| < 2^(w-1) <= 2^29: mul_shift30 is exact and alias-free here.
+        # |r| < 2^w <= 2^30: mul_shift30 is exact and alias-free here.
         r = limb.mul_shift30(jnp.int32(coeff), c, w - 2)
         b = (r >> 1) + (r & 1)
     else:
@@ -235,18 +242,31 @@ def window_values_rtl(n, coeffs_q, spec: WindowSpec):
     """
     from .cordic_wide import cordic_dds_i32
 
-    if spec.sin_type != "cordic":
-        raise NotImplementedError("int32 RTL path supports CORDIC sin_type")
+    if spec.sin_type not in ("cordic", "taylor"):
+        raise NotImplementedError("int32 RTL path supports CORDIC/TAYLOR")
     pw, w, p = spec.phase_width, spec.data_width, spec.precision
     coeffs_q = tuple(int(c) for c in coeffs_q)
     mask = (1 << pw) - 1
     nterms = len(coeffs_q)
+    full_scale = spec.sin_type == "taylor"
     sw = 32 - w
 
     bs = []
     for k in range(1, nterms):
-        c, _ = cordic_dds_i32((k * n) & mask, pw, w, p)
-        bs.append(_rtl_term(coeffs_q[k], c, w))
+        if full_scale:
+            # the reference doubles harmonic frequency by instantiating the
+            # generator one phase bit narrower (src/bh_win_3term.vhd:221-233);
+            # gather-based — fine as plain jnp, not for pallas_call bodies
+            if k not in (1, 2):
+                raise ValueError("TAYLOR sin_type supports 2/3-term windows")
+            from ..taylor import taylor_sincos
+
+            pwk = pw - (k - 1)
+            c, _ = taylor_sincos(n & ((1 << pwk) - 1), pwk, w, spec.lut_size)
+            c = c.astype(jnp.int32)
+        else:
+            c, _ = cordic_dds_i32((k * n) & mask, pw, w, p)
+        bs.append(_rtl_term(coeffs_q[k], c, w, full_scale))
 
     if nterms == 2:  # hamming_win.vhd:211-231 (W+1-bit subtract, rnd bit 0)
         a0, b = coeffs_q[0], bs[0]
@@ -347,6 +367,10 @@ def pallas_window_block(
     tile = rows * 128
     if length % tile:
         raise ValueError(f"length {length} must be a multiple of {tile}")
+    if spec.sin_type != "cordic":
+        # the TAYLOR source is gather-based (ROM lookups) — fine as plain
+        # jnp (window_values), hostile inside a pallas_call body
+        raise NotImplementedError("pallas_window_block supports CORDIC only")
     grid = length // tile
     coeffs_q = tuple(int(c) for c in coeffs_q)
 

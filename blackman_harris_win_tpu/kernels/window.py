@@ -106,13 +106,15 @@ def window_samples(n, coeffs_q, spec: WindowSpec):
                 return window_values(jnp.asarray(n, jnp.int32), coeffs_q, spec)
         return _window_hls(n, coeffs_q, spec)
     if (
-        spec.sin_type == "cordic"
+        spec.sin_type in ("cordic", "taylor")
         and not jax.config.read("jax_enable_x64")
         and w <= 32
         and pw <= 30  # (k*n) int32 overflow is exact under the 2^pw mask
     ):
         amax = max(abs(int(c)) for c in coeffs_q)
-        if max(amax.bit_length() + (w - 2) + 1, w + 2, w + spec.precision) > 32:
+        cos_bits = (w - 2) if spec.sin_type == "cordic" else (w - 1)
+        state = w + spec.precision if spec.sin_type == "cordic" else 0
+        if max(amax.bit_length() + cos_bits + 1, w + 2, state) > 32:
             # int64 lanes unavailable (TPU): the VHDL rounding contract runs
             # on the int32-lane datapath (radix-4 W+2-bit tree, limb slices)
             from .pallas.window_kernel import window_values
@@ -123,13 +125,13 @@ def window_samples(n, coeffs_q, spec: WindowSpec):
 
 def _i32_products_ok(prod_bits: int, w: int) -> bool:
     """True when int64 lanes are unavailable but the per-term products can
-    run exactly on int32 via the 15-bit-limb decomposition: needs the cos
-    magnitude < 2^30 (w <= 30 for the full-scale Taylor source) and the
-    shifted term fitting int32."""
+    run exactly on int32 via the limb decompositions (mul_shift30 up to
+    2^30-magnitude operands; mul_wide_parts31 for the full-scale w=32
+    Taylor source)."""
     return (
         prod_bits > 32
         and not jax.config.read("jax_enable_x64")
-        and w <= 30
+        and w <= 32
     )
 
 
@@ -161,9 +163,14 @@ def _window_hls(n, coeffs_q, spec: WindowSpec):
     for k in range(1, len(coeffs_q)):
         c = _harmonic_cos(n, k, spec)
         if i32_prod:
-            from .pallas.limb import mul_shift30
+            from .pallas.limb import mul_shift30, mul_wide_parts31
 
-            m = mul_shift30(jnp.int32(coeffs_q[k]), c.astype(jnp.int32), shift)
+            if shift <= 30:  # operands < 2^30: 15-bit-limb product
+                m = mul_shift30(
+                    jnp.int32(coeffs_q[k]), c.astype(jnp.int32), shift
+                )
+            else:  # shift == 31: full-scale Taylor at w == 32
+                m, _ = mul_wide_parts31(int(coeffs_q[k]), c.astype(jnp.int32))
         else:
             m = (jnp.asarray(coeffs_q[k], pdt) * c.astype(pdt)) >> shift
         acc = acc - m if k % 2 == 1 else acc + m
@@ -187,7 +194,10 @@ def _window_rtl(n, coeffs_q, spec: WindowSpec):
     cos_bits = (w - 2) if spec.sin_type == "cordic" else (w - 1)
     amax = max(abs(int(c)) for c in coeffs_q)
     prod_bits = amax.bit_length() + cos_bits + 1
-    i32_prod = _i32_products_ok(prod_bits, w)
+    # w <= 30 only: the W+2-bit adder tree must fit the int32 lane (the
+    # radix-4 tree for w in {31, 32} lives in pallas.window_values_rtl,
+    # which window_samples routes to before reaching here)
+    i32_prod = _i32_products_ok(prod_bits, w) and w <= 30
     pdt = jnp.int32 if i32_prod else _int_lane(max(prod_bits, w + 2))
     nb = jnp.iinfo(pdt).bits
     wrap = lambda v, width: (v << (nb - width)) >> (nb - width)

@@ -208,10 +208,15 @@ class TestDispatchWithoutX64:
             assert int(got[j]) == want, ni
 
     @pytest.mark.parametrize("rounding", ["hls", "rtl"])
-    @pytest.mark.parametrize("name,w", [("hann", 17), ("bh3_hls", 24)])
+    @pytest.mark.parametrize(
+        "name,w",
+        [("hann", 17), ("bh3_hls", 24), ("hann", 31), ("hann", 32),
+         ("bh3_hls", 32)],
+    )
     def test_taylor_window_dispatch(self, rounding, name, w):
         # TAYLOR-source windows previously needed int64 product lanes even
-        # at w=17; now exact via limb.mul_shift30 on int32.
+        # at w=17; now exact on int32 at every width (mul_shift30 up to
+        # w=30/31, mul_wide_parts31 for the full-scale w=32 products).
         pw, ls = 12, 9
         spec = WindowSpec(pw, w, sin_type="taylor", rounding=rounding,
                           lut_size=ls, overflow="wrap")
