@@ -138,7 +138,16 @@ def cmd_spectrum(args) -> int:
     from .pipeline.spectral import windowed_power_spectrum
 
     spec = _spec(args)
-    x = np.load(args.input)
+    if args.format == "npy":
+        x = np.load(args.input)
+    else:
+        # raw capture ingest through the native mmap runtime
+        from .utils.io import SampleSource
+
+        with SampleSource(args.input, args.format, scale=args.scale) as src:
+            x = src.read_block(args.offset, args.count or len(src))
+        if np.iscomplexobj(x):
+            x = x.real  # Welch analyzer is real-input; use sdr for IQ
     hop = args.hop or spec.n // 2
     p = windowed_power_spectrum(
         jnp.asarray(x, jnp.float32), args.window, spec, hop=hop
@@ -195,9 +204,23 @@ def main(argv=None) -> int:
                    help="report the measured sidelobe floor on stderr")
     p.set_defaults(fn=cmd_gen)
 
-    p = sub.add_parser("spectrum", help="windowed Welch power spectrum of a .npy signal")
+    p = sub.add_parser(
+        "spectrum",
+        help="windowed Welch power spectrum of a .npy or raw capture file",
+    )
     _add_spec_args(p)
-    p.add_argument("--input", required=True, help="input signal .npy")
+    p.add_argument("--input", required=True,
+                   help="input signal (.npy, or raw with --format)")
+    p.add_argument("--format", choices=("npy", "i8", "i16", "f32", "ci16"),
+                   default="npy",
+                   help="raw formats are mmap'd via the native stream-IO "
+                        "runtime (native/stream_io.cpp)")
+    p.add_argument("--scale", type=float, default=1.0,
+                   help="raw-sample scale factor (e.g. 2**-15 for i16)")
+    p.add_argument("--offset", type=int, default=0,
+                   help="first raw sample to read")
+    p.add_argument("--count", type=int, default=0,
+                   help="raw samples to read (default: to end of file)")
     p.add_argument("--hop", type=int, default=0, help="frame hop (default nfft/2)")
     p.add_argument("--out", help="output spectrum .npy (default: dB to stdout)")
     p.set_defaults(fn=cmd_spectrum)

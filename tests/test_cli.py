@@ -68,3 +68,20 @@ def test_spectrum_roundtrip(tmp_path):
 def test_unknown_window():
     with pytest.raises(KeyError):
         main(["info", "nosuchwin"])
+
+
+def test_spectrum_raw_i16(tmp_path, capsys):
+    """Raw-capture ingest through the native stream-IO runtime."""
+    n = np.arange(8192)
+    tone = np.round((2**14) * np.cos(2 * np.pi * 24 / 512 * n)).astype("<i2")
+    raw = tmp_path / "tone.i16"
+    tone.tofile(raw)
+    out = tmp_path / "pxx.npy"
+    assert main([
+        "spectrum", "bh4", "--phase-width", "9", "--data-width", "17",
+        "--input", str(raw), "--format", "i16", "--scale", str(2.0**-14),
+        "--out", str(out),
+    ]) == 0
+    pxx = np.load(out)
+    assert pxx.shape == (257,)
+    assert int(np.argmax(pxx)) == 24

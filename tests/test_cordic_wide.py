@@ -263,6 +263,58 @@ class TestDispatchWithoutX64:
             assert int(ja[i]) == golden.cordic_atan2(int(y[i]), int(x[i]), 16, 32)
 
 
+class TestInt32EnginesWidthGrid:
+    """Every output width 8..32 for every int32-lane engine vs the native
+    oracle (random + quadrant-seam phases) — catches width-specific lane
+    bugs (limb boundaries, SEL_SIZE steps, radix-2^s applicability)."""
+
+    def _phases(self, pw, rng):
+        seams = np.array([0, 1, (1 << (pw - 2)) - 1, 1 << (pw - 2),
+                          (1 << (pw - 1)) - 1, 1 << (pw - 1),
+                          (3 << (pw - 2)), (1 << pw) - 1])
+        r = rng.integers(0, 1 << pw, size=248)
+        return np.unique(np.concatenate([seams, r]))
+
+    @pytest.mark.parametrize("w", list(range(8, 33, 2)))
+    def test_all_engines(self, w):
+        rng = np.random.default_rng(w)
+        pw = int(rng.integers(8, 27))
+        ph = self._phases(pw, rng)
+        p = int(rng.integers(1, 8))
+
+        c, s = cwide.cordic_dds48_i32(_i32(ph), pw, w)
+        nc, ns = native.cordic_dds48(ph, pw, w)
+        np.testing.assert_array_equal(np.asarray(c, np.int64), nc, err_msg=f"dds48 w={w}")
+        np.testing.assert_array_equal(np.asarray(s, np.int64), ns)
+
+        c, s = cwide.cordic_scaled_i32(_i32(ph), pw, w)
+        nc, ns = native.cordic_scaled(ph, pw, w)
+        np.testing.assert_array_equal(np.asarray(c, np.int64), nc, err_msg=f"scaled w={w}")
+        np.testing.assert_array_equal(np.asarray(s, np.int64), ns)
+
+        c, s = cwide.cordic_dds_i32(_i32(ph), pw, w, p)
+        nc, ns = native.cordic_dds(ph, pw, w, p)
+        np.testing.assert_array_equal(np.asarray(c, np.int64), nc, err_msg=f"dds w={w} p={p}")
+        np.testing.assert_array_equal(np.asarray(s, np.int64), ns)
+
+        c, s = cwide.cordic_hls_i32(_i32(ph), pw, w)
+        nc, ns = native.cordic_hls(ph, pw, w)
+        np.testing.assert_array_equal(np.asarray(c, np.int64), nc, err_msg=f"hls w={w}")
+        np.testing.assert_array_equal(np.asarray(s, np.int64), ns)
+
+    @pytest.mark.parametrize("w", list(range(9, 33, 4)))
+    def test_rtl_window_widths(self, w):
+        rng = np.random.default_rng(1000 + w)
+        pw = int(rng.integers(8, 20))
+        name = ["bh3", "bh4", "bh5", "bh7", "hamming", "hann"][w % 6]
+        q = catalog.get(name).quantized(w)
+        spec = WindowSpec(pw, w, rounding="rtl", overflow="wrap")
+        n = self._phases(pw, rng)
+        got = np.asarray(window_values_rtl(_i32(n), q, spec), np.int64)
+        want = native.win_rtl(n, q, pw, w, 1)
+        np.testing.assert_array_equal(got, want, err_msg=f"{name} w={w}")
+
+
 class TestPw30Routing:
     """pw=30 (1G-point window) routes to the int32 paths without x64 —
     the (k*n) int32 overflow is exact under the 2^pw mask."""
