@@ -74,7 +74,41 @@ def cmd_info(args) -> int:
     }
     if d.sidelobe_db is not None:
         out["required_width"] = required_width_for_sidelobe(d.sidelobe_db)
+    from .windows.metrics import cosine_sum_coherent_gain, cosine_sum_enbw_bins
+
+    out["enbw_bins"] = round(cosine_sum_enbw_bins(d.coeffs), 4)
+    out["coherent_gain"] = round(cosine_sum_coherent_gain(d.coeffs), 4)
     print(json.dumps(out))
+    return 0
+
+
+def cmd_metrics(args) -> int:
+    """harris figure-of-merit table for the catalog (windows/metrics.py) —
+    float windows by default, the quantized ones with --data-width."""
+    from .windows.metrics import catalog_metrics
+
+    table = catalog_metrics(
+        n=args.n, data_width=args.data_width or None, oversample=args.oversample
+    )
+    if args.window:
+        table = {args.window: table[args.window]}
+    if args.json:
+        for name, m in table.items():
+            print(json.dumps({"name": name, **m.__dict__}))
+        return 0
+    cols = [
+        ("enbw_bins", "ENBW", "{:.4f}"),
+        ("coherent_gain", "CG", "{:.4f}"),
+        ("scalloping_loss_db", "scallop", "{:+.2f}"),
+        ("worst_case_loss_db", "WCL", "{:+.2f}"),
+        ("main_lobe_3db_bins", "3dB-BW", "{:.2f}"),
+        ("main_lobe_6db_bins", "6dB-BW", "{:.2f}"),
+        ("peak_sidelobe_db", "sidelobe", "{:.1f}"),
+    ]
+    print(f"{'name':16} " + " ".join(f"{h:>8}" for _, h, _ in cols))
+    for name, m in table.items():
+        row = " ".join(f"{fmt.format(getattr(m, k)):>8}" for k, _, fmt in cols)
+        print(f"{name:16} {row}")
     return 0
 
 
@@ -190,6 +224,22 @@ def main(argv=None) -> int:
     p.add_argument("window")
     p.add_argument("--data-width", type=int, default=17)
     p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser(
+        "metrics",
+        help="harris figure-of-merit table (ENBW, scalloping, lobe widths)",
+    )
+    p.add_argument("window", nargs="?", default=None,
+                   help="one catalog name (default: whole catalog)")
+    p.add_argument("--n", type=int, default=4096, help="window length")
+    p.add_argument("--data-width", type=int, default=0,
+                   help="measure the QUANTIZED window at this width "
+                        "(default: float coefficients)")
+    p.add_argument("--oversample", type=int, default=64,
+                   help="DTFT grid density (bins resolved to 1/oversample)")
+    p.add_argument("--json", action="store_true",
+                   help="one JSON object per window instead of the table")
+    p.set_defaults(fn=cmd_metrics)
 
     p = sub.add_parser("gen", help="generate a quantized window")
     _add_spec_args(p)

@@ -85,3 +85,29 @@ def test_spectrum_raw_i16(tmp_path, capsys):
     pxx = np.load(out)
     assert pxx.shape == (257,)
     assert int(np.argmax(pxx)) == 24
+
+
+def test_metrics_table(capsys):
+    assert main(["metrics", "--n", "1024"]) == 0
+    out = capsys.readouterr().out
+    lines = out.strip().splitlines()
+    assert lines[0].split()[:3] == ["name", "ENBW", "CG"]
+    assert len(lines) == 1 + len(catalog.names())
+    hann = next(l for l in lines if l.startswith("hann "))
+    assert hann.split()[1] == "1.5000"  # closed-form ENBW of hann
+
+
+def test_metrics_single_json_quantized(capsys):
+    assert main(
+        ["metrics", "bh4", "--n", "1024", "--data-width", "17", "--json"]
+    ) == 0
+    row = json.loads(capsys.readouterr().out)
+    assert row["name"] == "bh4"
+    assert abs(row["enbw_bins"] - 2.0044) < 2e-3
+    assert row["peak_sidelobe_db"] <= -91.0  # floor survives W=17 quantization
+
+
+def test_info_reports_closed_form_merit(capsys):
+    assert main(["info", "hann", "--data-width", "16"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["enbw_bins"] == 1.5 and out["coherent_gain"] == 0.5
