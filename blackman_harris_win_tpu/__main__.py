@@ -195,6 +195,43 @@ def cmd_spectrum(args) -> int:
     return 0
 
 
+def cmd_stft(args) -> int:
+    """Spectrogram front-end: STFT frames through a quantized catalog
+    window (pipeline/stft.py); .npy complex frames with --out, else a
+    frames x bins dB-magnitude matrix to stdout."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from .core.config import WindowSpec
+    from .pipeline.stft import host_complex, quantized_stft_pair
+
+    spec = _spec(args)
+    if args.format == "npy":
+        x = np.load(args.input)
+    else:
+        from .utils.io import SampleSource
+
+        with SampleSource(args.input, args.format, scale=args.scale) as src:
+            x = src.read_block(args.offset, args.count or len(src))
+        if np.iscomplexobj(x):
+            x = x.real
+    hop = args.hop or spec.n // 2
+    # trim to the exact framing tiling (T - nfft) % hop == 0
+    t = len(x)
+    nf = (t - spec.n) // hop
+    x = x[: spec.n + nf * hop]
+    fwd, _, _ = quantized_stft_pair(args.window, spec, hop)
+    # complex device->host copies are UNIMPLEMENTED on the axon tunnel
+    s = host_complex(fwd(jnp.asarray(x, jnp.float32)))
+    if args.out:
+        np.save(args.out, s)
+        print(f"wrote {s.shape[0]} frames x {s.shape[1]} bins to {args.out}")
+    else:
+        mag = 20.0 * np.log10(np.maximum(np.abs(s), 1e-300))
+        np.savetxt(sys.stdout, mag, fmt="%.2f")
+    return 0
+
+
 def _add_spec_args(p: argparse.ArgumentParser, need_window: bool = True):
     if need_window:
         p.add_argument("window", help="catalog name (see `list`)")
@@ -274,6 +311,22 @@ def main(argv=None) -> int:
     p.add_argument("--hop", type=int, default=0, help="frame hop (default nfft/2)")
     p.add_argument("--out", help="output spectrum .npy (default: dB to stdout)")
     p.set_defaults(fn=cmd_spectrum)
+
+    p = sub.add_parser(
+        "stft",
+        help="spectrogram (STFT frames) of a .npy or raw capture file",
+    )
+    _add_spec_args(p)
+    p.add_argument("--input", required=True,
+                   help="input signal (.npy, or raw with --format)")
+    p.add_argument("--format", choices=("npy", "i8", "i16", "f32", "ci16"),
+                   default="npy")
+    p.add_argument("--scale", type=float, default=1.0)
+    p.add_argument("--offset", type=int, default=0)
+    p.add_argument("--count", type=int, default=0)
+    p.add_argument("--hop", type=int, default=0, help="frame hop (default nfft/2)")
+    p.add_argument("--out", help="complex frames .npy (default: dB to stdout)")
+    p.set_defaults(fn=cmd_stft)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -40,6 +40,21 @@ from ..dist.halo import with_right_halo
 from .spectral import frames_view, window_scale
 
 
+def host_complex(s) -> "np.ndarray":
+    """Fetch a complex device array to the host as numpy.
+
+    The axon TPU tunnel backend cannot transfer complex dtypes
+    (UNIMPLEMENTED on device->host copy); shipping a stacked real/imag
+    float array and recombining on the host costs the same bytes and works
+    on every backend.  Use this instead of ``np.asarray`` on any complex
+    result (STFT frames, raw FFT bins) that must leave the device.
+    """
+    import numpy as np
+
+    ri = np.asarray(jnp.stack([jnp.real(s), jnp.imag(s)], axis=-1))
+    return ri[..., 0] + 1j * ri[..., 1]
+
+
 def stft(x, win, nfft: int, hop: int):
     """Short-time Fourier transform of the last axis.
 

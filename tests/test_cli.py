@@ -111,3 +111,19 @@ def test_info_reports_closed_form_merit(capsys):
     assert main(["info", "hann", "--data-width", "16"]) == 0
     out = json.loads(capsys.readouterr().out)
     assert out["enbw_bins"] == 1.5 and out["coherent_gain"] == 0.5
+
+
+def test_stft_frames_npy(tmp_path, capsys):
+    nfft, hop = 256, 128
+    n = np.arange(nfft + 10 * hop + 37)  # deliberately untiled length
+    x = np.sin(2 * np.pi * 16 / nfft * n).astype(np.float32)
+    f_in, f_out = tmp_path / "x.npy", tmp_path / "s.npy"
+    np.save(f_in, x)
+    assert main([
+        "stft", "bh4", "--phase-width", "8", "--data-width", "17",
+        "--input", str(f_in), "--out", str(f_out),
+    ]) == 0
+    s = np.load(f_out)
+    assert s.shape == (11, nfft // 2 + 1) and np.iscomplexobj(s)
+    # the tone shows up in bin 16 of every frame
+    assert (np.abs(s).argmax(axis=1) == 16).all()

@@ -276,3 +276,18 @@ class TestSharded:
                 make_mesh(blocks=2), spec, d.quantized(17), d.shift,
                 spec.n, 12,
             )
+
+
+def test_host_complex_matches_direct():
+    """host_complex (the axon complex-transfer workaround) is a no-op
+    semantically: equals the direct numpy conversion on backends that can
+    transfer complex."""
+    from blackman_harris_win_tpu.pipeline.stft import host_complex
+
+    s = jnp.asarray(
+        np.random.default_rng(12).normal(size=(3, 5))
+        + 1j * np.random.default_rng(13).normal(size=(3, 5))
+    )
+    got = host_complex(s)
+    assert np.iscomplexobj(got)
+    assert np.array_equal(got, np.asarray(s))
