@@ -1,0 +1,170 @@
+"""Cosine-sum window *design* — the optimization behind the catalog.
+
+The reference ships a fixed coefficient table (``README.md:43-53``,
+``windows/catalog.py``); those published Blackman-Harris sets are themselves
+the solutions of a minimax problem: choose ``a_0..a_{K-1}`` minimizing the
+peak side-lobe of
+
+    w[n] = sum_k (-1)^k a_k cos(2*pi*k*n/N)
+
+whose large-N DTFT is the trig polynomial
+
+    W(f) = sum_k (-1)^k a_k (sinc(f - k) + sinc(f + k)) / 2      [f in bins]
+
+— *linear* in the coefficients.  So minimax design is a linear program:
+
+    minimize t  s.t.  -t <= W(f_j) <= t  on a dense stop-band grid
+                      W(0) = 1  (main-lobe normalization)
+
+solved exactly by scipy's HiGHS.  This module regenerates the catalog's
+min-sidelobe family from first principles (4-term -> the -92 dB BH-4
+coefficients to ~1e-4; 7-term -> a -180 dB class window; verified in
+tests/test_design.py against ``windows/metrics``) and generalizes it:
+arbitrary term count, custom stop-band edge (trade main-lobe width vs
+floor), and prescribed spectral nulls.
+
+Design is host-side (numpy/scipy, milliseconds); the output coefficients
+feed the same quantized TPU generation path as the catalog
+(``quantize_coeffs`` + ``kernels/window.window_samples``).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+
+def cosine_sum_spectrum(coeffs, f):
+    """Large-N DTFT of the cosine-sum window at frequency ``f`` (bins),
+    normalized so W(0) = a0 + 0 (the k>0 sincs vanish at integers).
+    Alternating-sign convention of ``catalog.float_window_value``."""
+    a = np.asarray(coeffs, np.float64)
+    f = np.atleast_1d(np.asarray(f, np.float64))
+    k = np.arange(len(a))
+    sign = (-1.0) ** k
+    # np.sinc is sin(pi x)/(pi x)
+    m = 0.5 * (np.sinc(f[:, None] - k[None, :]) + np.sinc(f[:, None] + k[None, :]))
+    return (m * (sign * a)[None, :]).sum(axis=1)
+
+
+def _design_matrix(n_terms: int, f):
+    """Rows of the linear map a -> W(f)."""
+    k = np.arange(n_terms)
+    sign = (-1.0) ** k
+    f = np.asarray(f, np.float64)
+    return 0.5 * (
+        np.sinc(f[:, None] - k[None, :]) + np.sinc(f[:, None] + k[None, :])
+    ) * sign[None, :]
+
+
+@dataclass(frozen=True)
+class DesignResult:
+    coeffs: tuple[float, ...]  # normalized: sum(coeffs) == 1 (unit peak)
+    sidelobe_db: float  # achieved minimax stop-band level
+    stop_bin: float  # stop-band edge used (bins)
+
+    @property
+    def n_terms(self) -> int:
+        return len(self.coeffs)
+
+    def suggest_shift(self) -> int:
+        """Quantization headroom à la the catalog: shift 1 while every
+        coefficient fits Q0.(W-1) (< 0.5), else 2 (bh5/bh7 pattern)."""
+        return 1 if max(self.coeffs) < 0.5 else 2
+
+
+def design_min_sidelobe(
+    n_terms: int,
+    stop_bin: float | None = None,
+    grid: int = 2000,
+    f_max: float = 60.0,
+    nulls: tuple[float, ...] = (),
+) -> DesignResult:
+    """Minimax (equal-ripple) side-lobe design of a K-term cosine-sum
+    window — the optimization whose K=4 solution is the published -92 dB
+    Blackman-Harris set.
+
+    ``stop_bin`` is the side-lobe region edge in bins (default K, the
+    K-term main-lobe half-width: the catalog family's choice).  Lowering it
+    narrows the main lobe at the cost of the floor; raising it buys floor.
+    ``nulls`` adds exact-zero constraints W(f)=0 at the given bin offsets
+    (e.g. place nulls on known interferer frequencies).
+
+    Returns coefficients normalized to unit peak (sum = 1), matching the
+    catalog convention, and the achieved stop-band level in dB.
+    """
+    try:
+        from scipy.optimize import linprog
+    except ImportError as e:  # pragma: no cover - scipy is in the image
+        raise RuntimeError(
+            "window design needs scipy.optimize.linprog; install scipy or "
+            "use the precomputed sets in windows.catalog"
+        ) from e
+    if n_terms < 2:
+        raise ValueError("need at least 2 terms")
+    if stop_bin is None:
+        stop_bin = float(n_terms)
+    if stop_bin <= 1.0:
+        raise ValueError(f"stop_bin {stop_bin} must exceed 1 bin")
+
+    # dense near the edge (where the binding ripples crowd), log-spread out
+    f = stop_bin * np.exp(np.linspace(0.0, math.log(f_max / stop_bin), grid))
+    rows = _design_matrix(n_terms, f)
+
+    # variables: [a_0..a_{K-1}, t];  minimize t
+    c = np.zeros(n_terms + 1)
+    c[-1] = 1.0
+    ones = np.ones((len(f), 1))
+    a_ub = np.vstack(
+        [np.hstack([rows, -ones]), np.hstack([-rows, -ones])]
+    )
+    b_ub = np.zeros(2 * len(f))
+    # normalize the MAIN-LOBE peak: W(0) = a0 = 1.  (Normalizing the time
+    # peak sum(a_k) instead lets the LP inflate a0 against a fixed t —
+    # a degenerate 'window' with a huge DC term.)  Rescaled to the
+    # catalog's unit-time-peak convention after solving.
+    a_eq = [np.append(np.eye(n_terms)[0], 0.0)]
+    b_eq = [1.0]
+    for fn in nulls:
+        a_eq.append(np.append(_design_matrix(n_terms, [fn])[0], 0.0))
+        b_eq.append(0.0)
+
+    res = linprog(
+        c,
+        A_ub=a_ub,
+        b_ub=b_ub,
+        A_eq=np.asarray(a_eq),
+        b_eq=np.asarray(b_eq),
+        bounds=[(None, None)] * n_terms + [(0.0, None)],
+        method="highs",
+    )
+    if not res.success:  # pragma: no cover
+        raise RuntimeError(f"window design LP failed: {res.message}")
+    a = res.x[:n_terms]
+    level = float(res.x[-1])  # relative to the pinned W(0) = 1 peak
+    a = a / a.sum()  # catalog convention: unit time peak (sum == 1)
+    return DesignResult(
+        coeffs=tuple(float(v) for v in a),
+        sidelobe_db=20.0 * math.log10(max(level, 1e-300)),
+        stop_bin=float(stop_bin),
+    )
+
+
+def sampled_window(result: DesignResult, n: int) -> np.ndarray:
+    """Float samples of a designed window over one period (catalog sign
+    convention), for metrology or direct use."""
+    a = np.asarray(result.coeffs)
+    k = np.arange(len(a))
+    idx = np.arange(n)
+    ph = np.cos(2.0 * np.pi * np.outer(idx, k) / n)
+    return ph @ (a * (-1.0) ** k)
+
+
+def quantized_coeffs(result: DesignResult, data_width: int) -> tuple[int, ...]:
+    """Reference quantization of a designed set (``round(a*(2^(W-s)-1))``,
+    catalog.WindowDef.quantized) — drop-in for ``window_samples``."""
+    from ..core.fixedpoint import quantize_coeffs
+
+    return quantize_coeffs(result.coeffs, data_width, result.suggest_shift())

@@ -1,0 +1,131 @@
+"""Window design LP (windows/design.py): regenerating the reference's
+published minimum-sidelobe family from first principles, custom trade-offs,
+null placement, and the handoff into the quantized TPU generation path."""
+
+import numpy as np
+import pytest
+
+from blackman_harris_win_tpu.windows import catalog
+from blackman_harris_win_tpu.windows.design import (
+    DesignResult,
+    cosine_sum_spectrum,
+    design_min_sidelobe,
+    quantized_coeffs,
+    sampled_window,
+)
+from blackman_harris_win_tpu.windows.metrics import window_metrics
+
+pytest.importorskip("scipy.optimize")
+
+
+class TestSpectrumModel:
+    def test_peak_is_a0(self):
+        d = catalog.get("bh4")
+        assert cosine_sum_spectrum(d.coeffs, 0.0)[0] == pytest.approx(
+            d.coeffs[0]
+        )
+
+    def test_matches_fft_of_sampled_window(self):
+        """The large-N sinc model agrees with the actual zero-padded FFT of
+        the N=4096 window away from the main lobe."""
+        d = catalog.get("bh4")
+        n, os = 4096, 16
+        w = catalog.float_window_value("bh4", np.arange(n), n)
+        spec = np.fft.rfft(w, os * n) / n
+        f = np.asarray([4.5, 6.25, 10.0, 20.5])
+        model = cosine_sum_spectrum(d.coeffs, f)
+        fftv = spec[(f * os).astype(int)].real
+        assert np.allclose(model, fftv, atol=3e-7)
+
+
+class TestReproducesCatalog:
+    def test_two_term_is_the_hamming_optimum(self):
+        """K=2, stop at 2 bins: the classic -43 dB exact-Hamming optimum
+        (a0 = 25/46 ~ 0.5435 in the continuous limit) — the catalog's
+        'hamming' entry IS this design (hls win_function.cpp coefficients)."""
+        r = design_min_sidelobe(2)
+        assert r.sidelobe_db < -42.0
+        assert r.coeffs[0] == pytest.approx(
+            catalog.get("hamming").coeffs[0], abs=5e-3
+        )
+
+    def test_four_term_is_bh4(self):
+        """K=4: the published -92 dB Blackman-Harris minimum-sidelobe set
+        (README.md:30-41) drops out of the LP to ~1e-3."""
+        r = design_min_sidelobe(4)
+        bh4 = catalog.get("bh4")
+        assert r.sidelobe_db < -91.0
+        assert np.allclose(r.coeffs, bh4.coeffs, atol=2e-3)
+        # measured on the sampled window, the floor holds
+        m = window_metrics(sampled_window(r, 4096), n_terms=4)
+        assert m.peak_sidelobe_db < -91.0
+
+    def test_seven_term_hits_minus_180(self):
+        """K=7: a -180 dB-class window, the reference's headline config."""
+        r = design_min_sidelobe(7)
+        assert r.sidelobe_db < -175.0
+        m = window_metrics(sampled_window(r, 8192), n_terms=7)
+        assert m.peak_sidelobe_db < -170.0
+
+    def test_normalization_is_unit_time_peak(self):
+        r = design_min_sidelobe(5)
+        assert sum(r.coeffs) == pytest.approx(1.0, abs=1e-9)
+        w = sampled_window(r, 1024)
+        assert w[512] == pytest.approx(1.0, abs=1e-9)
+
+
+class TestTradeoffsAndNulls:
+    def test_wider_stopband_buys_floor(self):
+        """Pushing the stop edge out trades main-lobe width for depth."""
+        narrow = design_min_sidelobe(4, stop_bin=3.0)
+        default = design_min_sidelobe(4)
+        wide = design_min_sidelobe(4, stop_bin=5.0)
+        assert narrow.sidelobe_db > default.sidelobe_db > wide.sidelobe_db
+
+    def test_prescribed_null(self):
+        """W(f0) = 0 exactly at a prescribed interferer offset."""
+        f0 = 9.5
+        r = design_min_sidelobe(4, nulls=(f0,))
+        assert abs(cosine_sum_spectrum(r.coeffs, f0)[0]) < 1e-12
+        # still a deep window (one ripple spent on the null)
+        assert r.sidelobe_db < -80.0
+
+    def test_bad_args(self):
+        with pytest.raises(ValueError, match="at least 2"):
+            design_min_sidelobe(1)
+        with pytest.raises(ValueError, match="stop_bin"):
+            design_min_sidelobe(4, stop_bin=0.5)
+
+
+class TestQuantizedHandoff:
+    def test_designed_window_through_the_tpu_path(self):
+        """Designed coefficients quantize and generate through the same
+        fixed-point kernel as the catalog (bit-exact vs the golden scalar
+        model), and the quantized floor matches the design's promise at the
+        width the 6 dB/bit rule predicts."""
+        import jax.numpy as jnp
+
+        from blackman_harris_win_tpu.core.config import WindowSpec
+        from blackman_harris_win_tpu.kernels.window import window_samples
+        from blackman_harris_win_tpu.model import golden
+        from blackman_harris_win_tpu.utils.spectral import (
+            required_width_for_sidelobe,
+            window_sidelobe_db,
+        )
+
+        r = design_min_sidelobe(4)
+        width = required_width_for_sidelobe(r.sidelobe_db)  # -92 dB -> 17
+        assert width == 17
+        q = quantized_coeffs(r, width)
+        spec = WindowSpec(phase_width=12, data_width=width)
+        w = np.asarray(
+            window_samples(jnp.arange(4096, dtype=jnp.int32), q, spec)
+        )
+        for i in (0, 1, 1024, 2048, 3072, 4095):
+            assert int(w[i]) == golden.win_cosine_sum_hls(i, q, 12, width)
+        assert window_sidelobe_db(w.astype(float), n_terms=4) < -89.0
+
+    def test_suggest_shift_follows_catalog_pattern(self):
+        assert design_min_sidelobe(4).suggest_shift() == 1  # bh4: shift 1
+        assert design_min_sidelobe(7).suggest_shift() == 2  # bh7: shift 2
+        assert DesignResult((0.25, 0.55, 0.2), -60.0, 3.0).suggest_shift() == 2
