@@ -85,8 +85,11 @@ def cmd_info(args) -> int:
 def cmd_metrics(args) -> int:
     """harris figure-of-merit table for the catalog (windows/metrics.py) —
     float windows by default, the quantized ones with --data-width."""
+    from .windows import catalog
     from .windows.metrics import catalog_metrics
 
+    if args.window:
+        catalog.get(args.window)  # loud "unknown window ...; available" error
     table = catalog_metrics(
         n=args.n, data_width=args.data_width or None, oversample=args.oversample
     )
@@ -109,6 +112,70 @@ def cmd_metrics(args) -> int:
     for name, m in table.items():
         row = " ".join(f"{fmt.format(getattr(m, k)):>8}" for k, _, fmt in cols)
         print(f"{name:16} {row}")
+    return 0
+
+
+def _load_real_signal(args, np, min_len: int):
+    """Shared spectrum/stft input path: .npy or raw capture (native mmap
+    runtime), complex inputs reduced to .real regardless of format (the
+    Welch/STFT analyzers are real-input; use the sdr pipeline for IQ), and
+    a loud error when the signal is shorter than one frame."""
+    if args.format == "npy":
+        x = np.load(args.input)
+    else:
+        from .utils.io import SampleSource
+
+        with SampleSource(args.input, args.format, scale=args.scale) as src:
+            x = src.read_block(args.offset, args.count or len(src))
+    if np.iscomplexobj(x):
+        x = x.real
+    if len(x) < min_len:
+        raise SystemExit(
+            f"input has {len(x)} samples but one frame needs nfft="
+            f"{min_len} (2^phase_width); lower --phase-width or supply "
+            "more samples"
+        )
+    return x
+
+
+def cmd_design(args) -> int:
+    """Minimax window design (windows/design.py): terms + stop-band edge +
+    optional nulls -> coefficients, achieved floor, quantized handoff."""
+    from .utils.spectral import required_width_for_sidelobe
+    from .windows.design import design_min_sidelobe, quantized_coeffs
+
+    r = design_min_sidelobe(
+        args.terms,
+        stop_bin=args.stop_bin,
+        nulls=tuple(args.null or ()),
+    )
+    width = args.data_width or required_width_for_sidelobe(r.sidelobe_db)
+    q = quantized_coeffs(r, width)
+    out = {
+        "terms": r.n_terms,
+        "stop_bin": r.stop_bin,
+        "sidelobe_db": round(r.sidelobe_db, 2),
+        "coeffs": list(r.coeffs),
+        "data_width": width,
+        "shift": r.suggest_shift(),
+        "quantized": list(q),
+    }
+    if args.measure_floor:
+        from .windows.metrics import window_metrics
+        from .windows.design import sampled_window
+
+        m = window_metrics(
+            sampled_window(r, 1 << args.phase_width), n_terms=r.n_terms
+        )
+        out["measured_sidelobe_db"] = round(m.peak_sidelobe_db, 2)
+        out["enbw_bins"] = round(m.enbw_bins, 4)
+    print(json.dumps(out))
+    if args.out:
+        import numpy as np
+
+        np.savetxt(args.out, np.asarray(q, np.int64), fmt="%d")
+        print(f"wrote {len(q)} quantized coefficients to {args.out}",
+              file=sys.stderr)
     return 0
 
 
@@ -172,16 +239,7 @@ def cmd_spectrum(args) -> int:
     from .pipeline.spectral import windowed_power_spectrum
 
     spec = _spec(args)
-    if args.format == "npy":
-        x = np.load(args.input)
-    else:
-        # raw capture ingest through the native mmap runtime
-        from .utils.io import SampleSource
-
-        with SampleSource(args.input, args.format, scale=args.scale) as src:
-            x = src.read_block(args.offset, args.count or len(src))
-        if np.iscomplexobj(x):
-            x = x.real  # Welch analyzer is real-input; use sdr for IQ
+    x = _load_real_signal(args, np, min_len=spec.n)
     hop = args.hop or spec.n // 2
     p = windowed_power_spectrum(
         jnp.asarray(x, jnp.float32), args.window, spec, hop=hop
@@ -206,15 +264,7 @@ def cmd_stft(args) -> int:
     from .pipeline.stft import host_complex, quantized_stft_pair
 
     spec = _spec(args)
-    if args.format == "npy":
-        x = np.load(args.input)
-    else:
-        from .utils.io import SampleSource
-
-        with SampleSource(args.input, args.format, scale=args.scale) as src:
-            x = src.read_block(args.offset, args.count or len(src))
-        if np.iscomplexobj(x):
-            x = x.real
+    x = _load_real_signal(args, np, min_len=spec.n)
     hop = args.hop or spec.n // 2
     # trim to the exact framing tiling (T - nfft) % hop == 0
     t = len(x)
@@ -277,6 +327,27 @@ def main(argv=None) -> int:
     p.add_argument("--json", action="store_true",
                    help="one JSON object per window instead of the table")
     p.set_defaults(fn=cmd_metrics)
+
+    p = sub.add_parser(
+        "design",
+        help="minimax (equal-ripple) cosine-sum window design via LP",
+    )
+    p.add_argument("terms", type=int, help="number of cosine terms K >= 2")
+    p.add_argument("--stop-bin", type=float, default=None,
+                   help="stop-band edge in bins (default K; lower = narrower "
+                        "main lobe, higher = deeper floor)")
+    p.add_argument("--null", type=float, action="append",
+                   help="prescribe an exact spectral null at this bin offset "
+                        "(repeatable)")
+    p.add_argument("--data-width", type=int, default=0,
+                   help="quantization width (default: sized from the achieved "
+                        "floor by the 6 dB/bit rule)")
+    p.add_argument("--phase-width", type=int, default=12,
+                   help="log2 window length for --measure-floor")
+    p.add_argument("--measure-floor", action="store_true",
+                   help="also measure the sampled window's floor and ENBW")
+    p.add_argument("--out", help="write quantized coefficients to a text file")
+    p.set_defaults(fn=cmd_design)
 
     p = sub.add_parser("gen", help="generate a quantized window")
     _add_spec_args(p)

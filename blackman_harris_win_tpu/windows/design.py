@@ -7,18 +7,26 @@ peak side-lobe of
 
     w[n] = sum_k (-1)^k a_k cos(2*pi*k*n/N)
 
-whose large-N DTFT is the trig polynomial
+whose large-N DTFT magnitude is the trig polynomial
 
-    W(f) = sum_k (-1)^k a_k (sinc(f - k) + sinc(f + k)) / 2      [f in bins]
+    |W(f)| = |sum_k a_k (sinc(f - k) + sinc(f + k)) / 2|      [f in bins]
 
-— *linear* in the coefficients.  So minimax design is a linear program:
+with *all-positive* sinc weights: the alternating time-domain signs are
+exactly a half-period shift (cos(2pi k (n - N/2)/N) = (-1)^k cos(2pi k n/N)),
+i.e. pure linear phase, which cancels out of the magnitude.  (Keeping the
+(-1)^k in the frequency model double-counts the shift and destroys the
+sinc-tail cancellation that makes these windows deep.)  The model is
+*linear* in the coefficients, so minimax design is a linear program:
 
     minimize t  s.t.  -t <= W(f_j) <= t  on a dense stop-band grid
                       W(0) = 1  (main-lobe normalization)
 
 solved exactly by scipy's HiGHS.  This module regenerates the catalog's
-min-sidelobe family from first principles (4-term -> the -92 dB BH-4
-coefficients to ~1e-4; 7-term -> a -180 dB class window; verified in
+min-sidelobe family from first principles (3-term -> the -71 dB exact BH-3
+set to ~1e-6; 4-term -> Nuttall's -98 dB minimum-sidelobe set, the
+catalog's blackman_nuttall, to ~1e-5 — the true minimax optimum that
+dominates Harris' near-optimal -92 dB BH-4; 7-term -> a -253 dB window,
+far past the reference's -180 headline; all verified in
 tests/test_design.py against ``windows/metrics``) and generalizes it:
 arbitrary term count, custom stop-band edge (trade main-lobe width vs
 floor), and prescribed spectral nulls.
@@ -37,26 +45,31 @@ import numpy as np
 
 
 def cosine_sum_spectrum(coeffs, f):
-    """Large-N DTFT of the cosine-sum window at frequency ``f`` (bins),
-    normalized so W(0) = a0 + 0 (the k>0 sincs vanish at integers).
-    Alternating-sign convention of ``catalog.float_window_value``."""
+    """Large-N DTFT of the *centered* cosine-sum window at frequency ``f``
+    (bins), normalized so W(0) = a0 (the k>0 sincs vanish at integers).
+
+    Takes catalog-convention coefficients (``catalog.float_window_value``'s
+    alternating time-domain signs); the weights here are all-positive because
+    the alternation is a half-period shift — linear phase only.  Matches
+    ``|FFT(w)|`` of the sampled window to ~1e-7 for N >= 4096 (the sampled
+    window additionally carries phase e^{-i pi f (N-1)/N} plus aliasing of
+    the periodic sinc tails, both invisible in magnitude at this scale)."""
     a = np.asarray(coeffs, np.float64)
     f = np.atleast_1d(np.asarray(f, np.float64))
     k = np.arange(len(a))
-    sign = (-1.0) ** k
     # np.sinc is sin(pi x)/(pi x)
     m = 0.5 * (np.sinc(f[:, None] - k[None, :]) + np.sinc(f[:, None] + k[None, :]))
-    return (m * (sign * a)[None, :]).sum(axis=1)
+    return m @ a
 
 
 def _design_matrix(n_terms: int, f):
-    """Rows of the linear map a -> W(f)."""
+    """Rows of the linear map a -> W(f) (all-positive sinc weights — see
+    cosine_sum_spectrum)."""
     k = np.arange(n_terms)
-    sign = (-1.0) ** k
     f = np.asarray(f, np.float64)
     return 0.5 * (
         np.sinc(f[:, None] - k[None, :]) + np.sinc(f[:, None] + k[None, :])
-    ) * sign[None, :]
+    )
 
 
 @dataclass(frozen=True)
@@ -70,9 +83,13 @@ class DesignResult:
         return len(self.coeffs)
 
     def suggest_shift(self) -> int:
-        """Quantization headroom à la the catalog: shift 1 while every
-        coefficient fits Q0.(W-1) (< 0.5), else 2 (bh5/bh7 pattern)."""
-        return 1 if max(self.coeffs) < 0.5 else 2
+        """Quantization headroom, the catalog's rule: shift 1 for 2..4-term
+        sets, 2 for 5+-term (hls/windows/win_function.cpp:176,349 — e.g.
+        hamming's a0=0.5435 still gets shift 1), provided every coefficient
+        fits the W-1-bit magnitude range (< 1.0); otherwise shift 2."""
+        if max(abs(c) for c in self.coeffs) >= 1.0:
+            return 2
+        return 1 if self.n_terms <= 4 else 2
 
 
 def design_min_sidelobe(
@@ -164,7 +181,19 @@ def sampled_window(result: DesignResult, n: int) -> np.ndarray:
 
 def quantized_coeffs(result: DesignResult, data_width: int) -> tuple[int, ...]:
     """Reference quantization of a designed set (``round(a*(2^(W-s)-1))``,
-    catalog.WindowDef.quantized) — drop-in for ``window_samples``."""
+    catalog.WindowDef.quantized) — drop-in for ``window_samples``.
+
+    Per-coefficient rounding of a unit-sum designed set can push the window
+    peak to exactly ``2^(W-1)`` — one past Q0.(W-1) full scale (the peak is
+    ``sum(q)``: at n=N/2 every harmonic phase k*N/2 lands on a quadrant-exact
+    cos = +/-full-scale, so each product round-trips to q_k exactly).  The
+    excess is trimmed from a0 so the peak fits — the catalog's published
+    sets already carry this headroom; without the trim the faithful
+    ``overflow="wrap"`` path wraps the peak to negative full scale."""
     from ..core.fixedpoint import quantize_coeffs
 
-    return quantize_coeffs(result.coeffs, data_width, result.suggest_shift())
+    q = list(quantize_coeffs(result.coeffs, data_width, result.suggest_shift()))
+    excess = sum(q) - (2 ** (data_width - 1) - 1)
+    if excess > 0:
+        q[0] -= excess
+    return tuple(q)

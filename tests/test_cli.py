@@ -113,6 +113,64 @@ def test_info_reports_closed_form_merit(capsys):
     assert out["enbw_bins"] == 1.5 and out["coherent_gain"] == 0.5
 
 
+def test_metrics_unknown_window():
+    """`metrics <unknown>` gets the loud catalog error, not a bare KeyError
+    traceback from the table index."""
+    with pytest.raises(KeyError, match="available"):
+        main(["metrics", "nosuchwin"])
+
+
+def test_stft_complex_npy_input(tmp_path):
+    """A complex .npy input takes .real (same handling as raw ci16)."""
+    nfft, hop = 256, 128
+    n = np.arange(nfft + 4 * hop)
+    x = np.exp(2j * np.pi * 16 / nfft * n).astype(np.complex64)
+    f_in, f_out = tmp_path / "x.npy", tmp_path / "s.npy"
+    np.save(f_in, x)
+    assert main([
+        "stft", "bh4", "--phase-width", "8", "--data-width", "17",
+        "--input", str(f_in), "--out", str(f_out),
+    ]) == 0
+    s = np.load(f_out)
+    assert s.shape == (5, nfft // 2 + 1)
+    assert (np.abs(s).argmax(axis=1) == 16).all()
+
+
+def test_stft_input_shorter_than_frame(tmp_path):
+    f_in = tmp_path / "x.npy"
+    np.save(f_in, np.zeros(100, np.float32))
+    with pytest.raises(SystemExit, match="nfft"):
+        main(["stft", "bh4", "--phase-width", "8", "--data-width", "17",
+              "--input", str(f_in)])
+
+
+def test_design_reproduces_minimum_4term(capsys):
+    """CLI design: K=4 lands on the catalog's blackman_nuttall set (the true
+    -98 dB minimax optimum) and sizes the width by the 6 dB/bit rule."""
+    assert main(["design", "4", "--measure-floor"]) == 0
+    out = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert out["sidelobe_db"] < -97.0
+    assert out["data_width"] == 18 and out["shift"] == 1
+    bn = catalog.get("blackman_nuttall").coeffs
+    assert np.allclose(out["coeffs"], bn, atol=1e-4)
+    assert out["measured_sidelobe_db"] < -97.0
+    assert sum(out["quantized"]) <= 2**17 - 1  # peak-overflow trim holds
+
+
+def test_design_null_and_outfile(tmp_path, capsys):
+    f = tmp_path / "coeffs.txt"
+    assert main([
+        "design", "4", "--null", "9.5", "--data-width", "17",
+        "--out", str(f),
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.splitlines()[0])
+    from blackman_harris_win_tpu.windows.design import cosine_sum_spectrum
+
+    assert abs(cosine_sum_spectrum(out["coeffs"], 9.5)[0]) < 1e-12
+    q = np.loadtxt(f, dtype=np.int64)
+    assert tuple(q) == tuple(out["quantized"]) and len(q) == 4
+
+
 def test_stft_frames_npy(tmp_path, capsys):
     nfft, hop = 256, 128
     n = np.arange(nfft + 10 * hop + 37)  # deliberately untiled length

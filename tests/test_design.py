@@ -27,43 +27,54 @@ class TestSpectrumModel:
 
     def test_matches_fft_of_sampled_window(self):
         """The large-N sinc model agrees with the actual zero-padded FFT of
-        the N=4096 window away from the main lobe."""
+        the N=4096 window away from the main lobe.  Compared in magnitude:
+        the sampled (n=0-origin) window carries linear phase
+        e^{-i pi f (N-1)/N} that the centered-window model omits."""
         d = catalog.get("bh4")
         n, os = 4096, 16
         w = catalog.float_window_value("bh4", np.arange(n), n)
         spec = np.fft.rfft(w, os * n) / n
         f = np.asarray([4.5, 6.25, 10.0, 20.5])
         model = cosine_sum_spectrum(d.coeffs, f)
-        fftv = spec[(f * os).astype(int)].real
-        assert np.allclose(model, fftv, atol=3e-7)
+        fftv = np.abs(spec[(f * os).astype(int)])
+        assert np.allclose(np.abs(model), fftv, atol=3e-7)
 
 
 class TestReproducesCatalog:
     def test_two_term_is_the_hamming_optimum(self):
-        """K=2, stop at 2 bins: the classic -43 dB exact-Hamming optimum
-        (a0 = 25/46 ~ 0.5435 in the continuous limit) — the catalog's
-        'hamming' entry IS this design (hls win_function.cpp coefficients)."""
+        """K=2, stop at 2 bins: the -43.2 dB equiripple optimum, the textbook
+        Hamming a0 = 0.53836.  (The catalog's 'hamming' entry carries the
+        'exact Hamming' 25/46 = 0.5435, which zeros one specific sidelobe
+        instead of equalizing them all — ~5e-3 away from the optimum.)"""
         r = design_min_sidelobe(2)
-        assert r.sidelobe_db < -42.0
+        assert r.sidelobe_db < -43.0
+        assert r.coeffs[0] == pytest.approx(0.53836, abs=1e-3)
         assert r.coeffs[0] == pytest.approx(
-            catalog.get("hamming").coeffs[0], abs=5e-3
+            catalog.get("hamming").coeffs[0], abs=6e-3
         )
 
-    def test_four_term_is_bh4(self):
-        """K=4: the published -92 dB Blackman-Harris minimum-sidelobe set
-        (README.md:30-41) drops out of the LP to ~1e-3."""
+    def test_four_term_is_the_minimum_sidelobe_set(self):
+        """K=4: the LP lands on the true minimax optimum — Nuttall's -98 dB
+        'minimum 4-term' set, the catalog's blackman_nuttall entry
+        (src/bh_win_4term.vhd:12-19) — reproduced to ~1e-5.  Harris' BH-4
+        (-92 dB, README.md:30-41) is a near-optimal variant of the same
+        problem, strictly dominated by this solution."""
         r = design_min_sidelobe(4)
-        bh4 = catalog.get("bh4")
-        assert r.sidelobe_db < -91.0
-        assert np.allclose(r.coeffs, bh4.coeffs, atol=2e-3)
+        bn = catalog.get("blackman_nuttall")
+        assert r.sidelobe_db < -97.0
+        assert np.allclose(r.coeffs, bn.coeffs, atol=1e-4)
+        # ... and it dominates the published BH-4 floor
+        assert r.sidelobe_db < catalog.get("bh4").sidelobe_db
         # measured on the sampled window, the floor holds
         m = window_metrics(sampled_window(r, 4096), n_terms=4)
-        assert m.peak_sidelobe_db < -91.0
+        assert m.peak_sidelobe_db < -97.0
 
     def test_seven_term_hits_minus_180(self):
-        """K=7: a -180 dB-class window, the reference's headline config."""
+        """K=7: far beyond the -180 dB class — the unconstrained 7-term
+        minimax optimum is ~-253 dB (the reference's bh7 set trades floor
+        for main-lobe width; both satisfy the -180 headline)."""
         r = design_min_sidelobe(7)
-        assert r.sidelobe_db < -175.0
+        assert r.sidelobe_db < -180.0
         m = window_metrics(sampled_window(r, 8192), n_terms=7)
         assert m.peak_sidelobe_db < -170.0
 
@@ -114,8 +125,8 @@ class TestQuantizedHandoff:
         )
 
         r = design_min_sidelobe(4)
-        width = required_width_for_sidelobe(r.sidelobe_db)  # -92 dB -> 17
-        assert width == 17
+        width = required_width_for_sidelobe(r.sidelobe_db)  # -98 dB -> 18
+        assert width == 18
         q = quantized_coeffs(r, width)
         spec = WindowSpec(phase_width=12, data_width=width)
         w = np.asarray(
@@ -123,9 +134,16 @@ class TestQuantizedHandoff:
         )
         for i in (0, 1, 1024, 2048, 3072, 4095):
             assert int(w[i]) == golden.win_cosine_sum_hls(i, q, 12, width)
-        assert window_sidelobe_db(w.astype(float), n_terms=4) < -89.0
+        assert window_sidelobe_db(w.astype(float), n_terms=4) < -95.0
 
     def test_suggest_shift_follows_catalog_pattern(self):
+        """Catalog rule (hls win_function.cpp:176,349): shift 1 for 2..4-term
+        (hamming's a0=0.5435 included), 2 for 5+-term."""
         assert design_min_sidelobe(4).suggest_shift() == 1  # bh4: shift 1
         assert design_min_sidelobe(7).suggest_shift() == 2  # bh7: shift 2
-        assert DesignResult((0.25, 0.55, 0.2), -60.0, 3.0).suggest_shift() == 2
+        assert design_min_sidelobe(2).suggest_shift() == 1  # hamming: shift 1
+        assert design_min_sidelobe(5).suggest_shift() == 2  # bh5: shift 2
+        # 3-term with a coefficient > 0.5 still follows the term-count rule
+        assert DesignResult((0.25, 0.55, 0.2), -60.0, 3.0).suggest_shift() == 1
+        # unless a coefficient can't fit Q0.(W-1) at all
+        assert DesignResult((1.1, -0.2, 0.1), -20.0, 3.0).suggest_shift() == 2
