@@ -29,12 +29,23 @@ from jax.sharding import Mesh
 def initialize(**kwargs) -> None:
     """Bring up jax.distributed (idempotent).  On Cloud TPU pods all
     arguments auto-detect; explicit coordinator_address/num_processes/
-    process_id can be passed for other fabrics."""
-    if jax.process_count() > 1 or getattr(initialize, "_done", False):
+    process_id can be passed for other fabrics (the simulated 2-process CPU
+    bring-up in tests/test_multiprocess.py uses exactly that).
+
+    A failed *explicit* multi-process bring-up raises — silently degrading
+    to single-process would run every collective on a fraction of the data.
+    Only the auto-detect path may fall back (single host, no coordinator).
+
+    The idempotency check is ``jax.distributed.is_initialized()``, NOT
+    ``jax.process_count()``: the latter initializes the XLA backend, after
+    which ``jax.distributed.initialize`` refuses to run at all."""
+    if jax.distributed.is_initialized() or getattr(initialize, "_done", False):
         return
     try:
         jax.distributed.initialize(**kwargs)
     except (RuntimeError, ValueError):
+        if int(kwargs.get("num_processes") or 1) > 1:
+            raise
         # single-process (already initialized or no coordinator): fine
         pass
     initialize._done = True

@@ -1,0 +1,124 @@
+"""True multi-process distributed execution, simulated on CPU (SURVEY.md §4:
+"multi-host tests using jax.distributed + CPU meshes so sharded ==
+single-device bit-for-bit"; round-2 VERDICT item 2).
+
+Spawns 2 coordinated OS processes (tests/multiproc_child.py), each with its
+own JAX runtime and 4 virtual CPU devices, brought up through the production
+``dist.multihost.initialize()`` -> ``jax.distributed.initialize`` path with
+an explicit localhost coordinator.  Cross-process collectives run over Gloo.
+The children assert sharded-vs-single-device equality (window generation
+bit-for-bit, Welch, STFT frames bit-for-bit, WOLA round trip) with the
+'blocks' axis spanning the process boundary, plus the pod_mesh layout and
+``process_block_range`` ownership on the real 2-process device grid.
+
+The child environment drops the axon sitecustomize trigger variable so the
+subprocesses are clean CPU-only interpreters — they never touch (or contend
+for) the single-client TPU tunnel.
+"""
+
+import json
+import os
+import pathlib
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_HERE = pathlib.Path(__file__).resolve().parent
+_REPO = _HERE.parent
+_NPROCS = 2
+_DEVS_PER_PROC = 4
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _child_env() -> dict:
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        # PALLAS_AXON_POOL_IPS triggers the axon TPU sitecustomize; without
+        # it the child is a plain CPU interpreter (no tunnel contention).
+        if k not in ("PALLAS_AXON_POOL_IPS", "JAX_PLATFORMS", "XLA_FLAGS")
+    }
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={_DEVS_PER_PROC}"
+    )
+    env["PYTHONPATH"] = os.pathsep.join(
+        [str(_REPO)] + env.get("PYTHONPATH", "").split(os.pathsep)
+    ).rstrip(os.pathsep)
+    return env
+
+
+@pytest.fixture(scope="module")
+def mp_results():
+    port = _free_port()
+    env = _child_env()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(_HERE / "multiproc_child.py"),
+             str(port), str(i), str(_NPROCS)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            cwd=str(_REPO),
+        )
+        for i in range(_NPROCS)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()  # exact PID of a process we spawned
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"child {i} failed:\n{out}"
+    results = []
+    for out in outs:
+        line = next(
+            l for l in out.splitlines() if l.startswith("MP_RESULT ")
+        )
+        results.append(json.loads(line[len("MP_RESULT "):]))
+    return results
+
+
+def test_both_processes_pass(mp_results):
+    assert len(mp_results) == _NPROCS
+    for r in mp_results:
+        assert r["ok"] is True
+
+
+def test_global_device_grid(mp_results):
+    for r in mp_results:
+        assert r["ndev"] == _NPROCS * _DEVS_PER_PROC
+        assert r["nlocal"] == _DEVS_PER_PROC
+    assert {r["pid"] for r in mp_results} == set(range(_NPROCS))
+
+
+def test_sharded_generation_bit_exact_per_process(mp_results):
+    for r in mp_results:
+        assert r["gen_shards_bit_exact"] == _DEVS_PER_PROC
+
+
+def test_process_block_ownership_is_a_partition(mp_results):
+    n = 4096  # spec.n in the child
+    ranges = sorted(r["block_range_a"] for r in mp_results)
+    assert ranges == [[0, n // 2], [n // 2, n]]
+
+
+def test_cross_process_welch_and_wola(mp_results):
+    for r in mp_results:
+        assert r["welch_max_relerr"] < 1e-6
+        assert r["stft_frames_bit_exact"] is True
+        assert r["wola_roundtrip_max_err"] < 2e-5
