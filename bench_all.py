@@ -19,6 +19,17 @@ Configs covered (BASELINE.json):
   8. BH-7 N=64M @ W=32 under the RTL (VHDL) rounding contract — the actual
      hardware contract of src/bh_win_3term.vhd:257-306, bit-exact on int32
      lanes (kernels/pallas/window_kernel.py:window_values_rtl)
+  9. cordic_dds48 engine @ W=32: the reference's max-precision flavor
+     (48-bit internal state, src/cordic_dds48.vhd:234-258) as radix-2^24
+     limb pairs — single-harmonic sin/cos at 64M phases, bit-exact vs the
+     native oracle
+ 10. cordic_dds_scaled engine @ W=24: the area-compromise flavor
+     (SEL_SIZE empirical width table, src/cordic_dds_scaled.vhd:100-143) —
+     single-harmonic sin/cos at 64M phases, bit-exact vs the native oracle
+  11. BH-7 N=64M @ W=32 fast mode measured WITHOUT the harness wall: the
+     outer-product generator with the checksum reduction inside a Pallas
+     kernel (kernels/pallas/outerwin_kernel.py) — one int32 partial per
+     grid step, the window never touches HBM
 """
 
 import json
@@ -220,6 +231,93 @@ def main():
                 **roofline_fields(
                     t, int_ops=cordic_window_int_ops(
                         reps8 * (1 << pw6), 7, 32, True))})
+    print(json.dumps(out[-1]), flush=True)
+
+    # --- configs 9/10: the dds48 (max-precision) and scaled (area-
+    #     compromise) rotation engines, single-harmonic sin/cos at 64M ---
+    from blackman_harris_win_tpu.core.luts import scaled_internal_width
+    from blackman_harris_win_tpu.kernels.pallas.cordic_wide import (
+        cordic_dds48_i32,
+        cordic_scaled_i32,
+    )
+
+    blk9 = 1 << 22
+    nb9 = (1 << pw6) // blk9
+    reps9 = 2
+    for metric, eng_fn, oracle, w_eng, size in (
+        ("cordic_dds48_w32_64M", cordic_dds48_i32, native.cordic_dds48,
+         32, 48),
+        ("cordic_scaled_w24_64M", cordic_scaled_i32, native.cordic_scaled,
+         24, scaled_internal_width(24)),
+    ):
+        # in-bench golden gate vs the native oracle (quadrant-seam block)
+        seam = (1 << pw6) // 4 - 1024 + np.arange(2048, dtype=np.int64)
+        cj, sj = jax.jit(lambda s=seam, f=eng_fn, w=w_eng: f(
+            jnp.asarray(s, jnp.int32), pw6, w))()
+        cn, sn = oracle(seam, pw6, w_eng)
+        assert (np.asarray(cj).astype(np.int64) == cn).all(), metric
+        assert (np.asarray(sj).astype(np.int64) == sn).all(), metric
+
+        @jax.jit
+        def gen_eng(seed, f=eng_fn, w=w_eng):
+            def body(acc, i):
+                n = (i & (nb9 - 1)) * blk9 + jnp.arange(blk9, dtype=jnp.int32)
+                c, s = f(n, pw6, w)
+                return acc + jnp.sum(c) + jnp.sum(s), None
+            s_, _ = jax.lax.scan(
+                body, seed, jnp.arange(reps9 * nb9, dtype=jnp.int32))
+            return s_
+
+        t = _sync_time(lambda: gen_eng(jnp.int32(0)))
+        v = reps9 * (1 << pw6) / t / 1e6
+        # op model: limb-pair iterations (22 ops) when any state width
+        # exceeds an int32 lane, single-lane (8 ops) otherwise; W x/y
+        # iterations + W-1 z iterations ~ the wide window model's per-
+        # harmonic cost with K-1 = 1 and no product stage.
+        per_iter = 22 if size > 32 else 8
+        ops = reps9 * (1 << pw6) * w_eng * per_iter
+        out.append({"metric": metric, "value": round(v, 1),
+                    "unit": "Msamples/s", "vs_fpga_400": round(v / 400, 2),
+                    "internal_width": size,
+                    **roofline_fields(t, int_ops=ops)})
+        print(json.dumps(out[-1]), flush=True)
+
+    # --- config 11: fast mode WITHOUT the harness wall (in-kernel reduce) ---
+    from blackman_harris_win_tpu.kernels.pallas.outerwin_kernel import (
+        make_checksum_fn,
+    )
+
+    fn11 = make_checksum_fn(q6, spec6, m=m6, rows=128)
+    # golden gate: pallas in-kernel checksum == the jnp scan checksum
+    @jax.jit
+    def jnp_checksum():
+        def body(acc, i):
+            wv = window_block_outer(i * blk6, rows6, q6, spec6, m=m6)
+            return acc + jnp.sum(wv), None
+        s_, _ = jax.lax.scan(body, jnp.int32(0),
+                             jnp.arange(nb6, dtype=jnp.int32))
+        return s_
+
+    got11 = int(jax.jit(fn11)(jnp.int32(0)))
+    assert got11 == int(jnp_checksum()), "pallas checksum mismatch"
+
+    reps11 = 16
+
+    @jax.jit
+    def gen_pallas(seed):
+        def body(acc, i):
+            return acc + fn11(i), None
+        s_, _ = jax.lax.scan(body, seed, jnp.arange(reps11, dtype=jnp.int32))
+        return s_
+
+    t = _sync_time(lambda: gen_pallas(jnp.int32(0)))
+    v11 = reps11 * (1 << pw6) / t / 1e6
+    out.append({"metric": "bh7_w32_64M_gen_fastmode_inkernel_reduce",
+                "value": round(v11, 1), "unit": "Msamples/s",
+                "vs_fpga_400": round(v11 / 400, 2),
+                "accounting": "window never in HBM; one int32/grid-step",
+                **roofline_fields(
+                    t, int_ops=outer_window_int_ops(reps11 * (1 << pw6), 7))})
     print(json.dumps(out[-1]), flush=True)
 
 

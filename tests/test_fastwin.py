@@ -180,3 +180,64 @@ class TestOuterProduct:
         got = np.asarray(gen(jnp.int32(4096)))
         want = np.asarray(window_block_outer(4096, 2, q, spec))
         np.testing.assert_array_equal(got, want)
+
+
+class TestOuterInKernelReduce:
+    """kernels/pallas/outerwin_kernel.py: the fused generate+reduce kernel
+    (round-2 VERDICT item 3 — measures the generator without the
+    materialize+reduce harness wall).  The tile math is shared code with
+    window_block_outer; these tests pin the equivalence and the in-kernel
+    checksum on CPU (interpret mode); the on-chip golden gate lives in
+    bench_outerpallas_probe.py / bench_all.py."""
+
+    def _checksum_int32(self, arr):
+        v = int(arr.astype(np.int64).sum() & 0xFFFFFFFF)
+        return v - (1 << 32) if v >= (1 << 31) else v
+
+    def test_tile_math_equals_block_generator(self):
+        from blackman_harris_win_tpu.kernels.outerwin import _tables
+        from blackman_harris_win_tpu.kernels.pallas.outerwin_kernel import (
+            tile_window,
+        )
+
+        pw, m, w = 16, 8, 32
+        spec = WindowSpec(pw, w, overflow="wrap")
+        q = catalog.get("bh7").quantized(w)
+        hi, lo, guard = _tables(tuple(int(c) for c in q), pw, m)
+        ch = jnp.asarray(hi[:, :, 0].T.copy())
+        sh = jnp.asarray(hi[:, :, 1].T.copy())
+        cl = jnp.asarray(lo[:, :, 0].copy())
+        sl = jnp.asarray(lo[:, :, 1].copy())
+        tile = np.asarray(
+            tile_window(ch, sh, cl, sl, int(q[0]), guard, spec)
+        ).reshape(-1)
+        ref = np.asarray(window_block_outer(0, 1 << (pw - m), q, spec, m=m))
+        np.testing.assert_array_equal(tile, ref)
+
+    @pytest.mark.parametrize("name,w,overflow", [
+        ("bh7", 32, "wrap"),
+        ("bh4", 18, "saturate"),
+    ])
+    def test_interpret_checksum_bit_equal(self, name, w, overflow):
+        from blackman_harris_win_tpu.kernels.pallas.outerwin_kernel import (
+            make_checksum_fn,
+        )
+
+        pw, m = 14, 7
+        spec = WindowSpec(pw, w, overflow=overflow)
+        q = catalog.get(name).quantized(w)
+        ref = np.asarray(window_block_outer(0, 1 << (pw - m), q, spec, m=m))
+        fn = make_checksum_fn(q, spec, m=m, rows=32, interpret=True)
+        assert int(fn(jnp.int32(0))) == self._checksum_int32(ref)
+        # bias threads through (anti-hoisting handle for timing scans)
+        assert int(fn(jnp.int32(9))) == self._checksum_int32(ref) + 9
+
+    def test_rows_must_divide_htable(self):
+        from blackman_harris_win_tpu.kernels.pallas.outerwin_kernel import (
+            make_checksum_fn,
+        )
+
+        spec = WindowSpec(14, 32, overflow="wrap")
+        q = catalog.get("bh7").quantized(32)
+        with pytest.raises(ValueError, match="divisible"):
+            make_checksum_fn(q, spec, m=7, rows=48)
