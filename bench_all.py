@@ -287,7 +287,7 @@ def main():
         make_checksum_fn,
     )
 
-    fn11 = make_checksum_fn(q6, spec6, m=m6, rows=128)
+    fn11 = make_checksum_fn(q6, spec6, m=m6, rows=256)
     # golden gate: pallas in-kernel checksum == the jnp scan checksum
     @jax.jit
     def jnp_checksum():

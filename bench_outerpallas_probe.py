@@ -91,8 +91,11 @@ def main():
                       "msamples_per_s": round(vj, 1)}), flush=True)
 
     # --- P<rows>: pallas in-kernel reduction, tile-height sweep ---
+    # rows=512 exceeds the 16 MB scoped-VMEM limit (22.11M measured: the
+    # (rows, 2048) int32 tile plus the limb-product temporaries) -- the
+    # sweep tops out at 256, where the curve is already flat.
     results = {}
-    for rows in (64, 128, 256, 512):
+    for rows in (64, 128, 256):
         fn = make_checksum_fn(q, spec, m=m, rows=rows)
 
         @jax.jit
