@@ -30,6 +30,9 @@ Configs covered (BASELINE.json):
      outer-product generator with the checksum reduction inside a Pallas
      kernel (kernels/pallas/outerwin_kernel.py) — one int32 partial per
      grid step, the window never touches HBM
+ 12. BH-7 N=64M native float32 generation (kernels/floatwin.py — the
+     TPU-only capability for float consumers; ~ -163 dB floor, jnp harness)
+ 13. Same, with the Pallas in-kernel f32 reduction (no harness wall)
 """
 
 import json
@@ -318,6 +321,67 @@ def main():
                 "accounting": "window never in HBM; one int32/grid-step",
                 **roofline_fields(
                     t, int_ops=outer_window_int_ops(reps11 * (1 << pw6), 7))})
+    print(json.dumps(out[-1]), flush=True)
+
+    # --- configs 12/13: native float32 window generation (the TPU-only
+    #     capability for float consumers, kernels/floatwin.py): jnp scan
+    #     harness + Pallas in-kernel reduction ---
+    from blackman_harris_win_tpu.kernels.floatwin import (
+        float_window_block,
+        float_window_flops,
+    )
+    from blackman_harris_win_tpu.kernels.pallas.outerwin_kernel import (
+        make_checksum_fn_f32,
+    )
+    from blackman_harris_win_tpu.windows.catalog import float_window_value
+
+    # golden gate: a 2048-sample block vs the f64 catalog golden
+    chk = np.arange(2048, dtype=np.int64) + (1 << 25)
+    got_f = np.asarray(jax.jit(lambda: float_window_block(
+        jnp.int32(1 << 25), 1, "bh7", pw6))()).astype(np.float64)
+    want_f = float_window_value("bh7", chk, 1 << pw6)
+    assert np.max(np.abs(got_f - want_f)) < 1.5e-6, "f32 golden gate"
+
+    rows12 = 1 << 12
+    blk12 = rows12 << m6
+    nb12 = (1 << pw6) // blk12
+    reps12 = 16
+
+    @jax.jit
+    def gen_f32(seed):
+        def body(acc, i):
+            wv = float_window_block(
+                (i & (nb12 - 1)) * blk12, rows12, "bh7", pw6, m=m6)
+            return acc + jnp.sum(wv), None
+        s_, _ = jax.lax.scan(
+            body, seed, jnp.arange(reps12 * nb12, dtype=jnp.int32))
+        return s_
+
+    t = _sync_time(lambda: gen_f32(jnp.float32(0)))
+    v12 = reps12 * (1 << pw6) / t / 1e6
+    out.append({"metric": "bh7_64M_gen_float32_fastmode", "value": round(v12, 1),
+                "unit": "Msamples/s", "vs_fpga_400": round(v12 / 400, 2),
+                **roofline_fields(
+                    t, int_ops=float_window_flops(reps12 * (1 << pw6), 7))})
+    print(json.dumps(out[-1]), flush=True)
+
+    fn13 = make_checksum_fn_f32("bh7", pw6, m=m6, rows=256)
+
+    @jax.jit
+    def gen_f32_pl(seed):
+        def body(acc, i):
+            return acc + fn13(i), None
+        s_, _ = jax.lax.scan(body, seed, jnp.arange(reps12, dtype=jnp.int32))
+        return s_
+
+    t = _sync_time(lambda: gen_f32_pl(jnp.float32(0)))
+    v13 = reps12 * (1 << pw6) / t / 1e6
+    out.append({"metric": "bh7_64M_gen_float32_inkernel_reduce",
+                "value": round(v13, 1), "unit": "Msamples/s",
+                "vs_fpga_400": round(v13 / 400, 2),
+                "accounting": "window never in HBM; one f32/grid-step",
+                **roofline_fields(
+                    t, int_ops=float_window_flops(reps12 * (1 << pw6), 7))})
     print(json.dumps(out[-1]), flush=True)
 
 

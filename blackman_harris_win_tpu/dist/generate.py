@@ -48,6 +48,37 @@ def sharded_window(coeffs_q, spec: WindowSpec, mesh: Mesh, axis: str = "blocks")
     return fn()
 
 
+def sharded_float_window(name_or_coeffs, pw: int, mesh: Mesh,
+                         axis: str = "blocks"):
+    """Full 2^pw float32 window (``kernels/floatwin.py``) sharded over
+    ``axis`` — the same zero-communication phase-split as
+    :func:`sharded_window`, for float consumers (Welch/STFT frames)."""
+    from ..kernels.floatwin import DEFAULT_SPLIT, float_window_block
+
+    nshards = mesh.shape[axis]
+    n = 1 << pw
+    if n % nshards:
+        raise ValueError(f"window length {n} not divisible by {nshards} shards")
+    block = n // nshards
+    # pick the largest lo-split that still leaves >= 1 row per shard
+    m = min(DEFAULT_SPLIT, block.bit_length() - 1)
+    rows = block >> m
+
+    def shard_fn():
+        i = jax.lax.axis_index(axis)
+        return float_window_block(i * block, rows, name_or_coeffs, pw, m=m)
+
+    fn = jax.jit(
+        shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(),
+            out_specs=P(axis),
+        )
+    )
+    return fn()
+
+
 def window_shard_fn(coeffs_q, spec: WindowSpec, axis: str, block: int):
     """The per-shard generator for use *inside* a larger shard_mapped step:
     returns this shard's [i*B, (i+1)*B) window block (no communication)."""

@@ -139,3 +139,77 @@ def make_checksum_fn(coeffs_q, spec: WindowSpec, m: int = 11,
         return total[0, 0]
 
     return checksum
+
+
+def _reduce_kernel_f32(bias_ref, ch_ref, sh_ref, cl_ref, sl_ref, out_ref, *,
+                       a0):
+    """f32 tile generate + reduce: acc = a0 + sum_k (ch*cl - sh*sl), one
+    f32 partial per grid step (the ``kernels/floatwin.py`` math)."""
+    rows = ch_ref.shape[0]
+    nl = cl_ref.shape[1]
+    acc = jnp.full((rows, nl), a0, jnp.float32)
+    for k in range(ch_ref.shape[1]):
+        acc = acc + (
+            ch_ref[:, k : k + 1] * cl_ref[k : k + 1, :]
+            - sh_ref[:, k : k + 1] * sl_ref[k : k + 1, :]
+        )
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[0, 0] = bias_ref[0].astype(jnp.float32)
+
+    out_ref[0, 0] += jnp.sum(acc)
+
+
+def make_checksum_fn_f32(name_or_coeffs, pw: int, m: int = 11,
+                         rows: int = 128, interpret: bool = False):
+    """f32 twin of :func:`make_checksum_fn` over ``kernels/floatwin.py``'s
+    tables: ``fn(bias) -> float32`` full-period window sum with the
+    reduction in-kernel (window never in HBM).  The sum is sequential over
+    grid steps / rows-major within a tile, so it is deterministic; it is a
+    *timing* checksum (f32 accumulation of 2^pw terms carries rounding —
+    gate correctness on tile values, not this scalar)."""
+    from ..floatwin import _resolve_coeffs, _tables_f32
+
+    coeffs = _resolve_coeffs(name_or_coeffs)
+    hi_np, lo_np = _tables_f32(coeffs, pw, m)
+    ch = jnp.asarray(hi_np[:, :, 0].T.copy())  # (NH, K-1)
+    sh = jnp.asarray(hi_np[:, :, 1].T.copy())
+    cl = jnp.asarray(lo_np[:, :, 0].copy())  # (K-1, NL)
+    sl = jnp.asarray(lo_np[:, :, 1].copy())
+    nh, km1 = ch.shape
+    nl = cl.shape[1]
+    if nh % rows:
+        raise ValueError(f"2^(pw-m) = {nh} not divisible by rows = {rows}")
+    grid = nh // rows
+
+    kern = functools.partial(_reduce_kernel_f32, a0=float(coeffs[0]))
+    call = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((rows, km1), lambda i, b: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((rows, km1), lambda i, b: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((km1, nl), lambda i, b: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((km1, nl), lambda i, b: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1), lambda i, b: (0, 0),
+                                   memory_space=pltpu.SMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        interpret=interpret,
+    )
+
+    def checksum(bias):
+        total = call(
+            jnp.atleast_1d(jnp.asarray(bias, jnp.int32)), ch, sh, cl, sl
+        )
+        return total[0, 0]
+
+    return checksum

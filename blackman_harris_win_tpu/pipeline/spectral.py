@@ -64,13 +64,29 @@ def welch_power(x, win, nfft: int, hop: int):
     return jnp.mean(jnp.abs(spec) ** 2, axis=-2)
 
 
-def windowed_power_spectrum(x, name_or_coeffs, spec: WindowSpec, hop=None):
-    """Convenience single-chip analyzer: quantized window generated on the
-    fly, applied, Welch-averaged.  nfft = spec.n."""
+def windowed_power_spectrum(x, name_or_coeffs, spec: WindowSpec, hop=None,
+                            win_mode: str = "quantized"):
+    """Convenience single-chip analyzer: window generated on the fly,
+    applied, Welch-averaged.  nfft = spec.n.
+
+    ``win_mode="quantized"`` (default) reproduces the reference's integer
+    window datapath, then scales to float for the FFT.
+    ``win_mode="float"`` generates the window natively in float32
+    (``kernels/floatwin.py`` — ~4 VPU slots/harmonic/sample, no int->float
+    convert pass); same floors through 5-term windows, BH-7 holds
+    ~ -163 dB instead of -180 (measured, tests/test_floatwin.py).
+    """
     from ..windows import catalog
 
     nfft = spec.n
     hop = hop or nfft // 2
+    if win_mode == "float":
+        from ..kernels.floatwin import float_window
+
+        win = float_window(name_or_coeffs, spec.phase_width)
+        return welch_power(x, win, nfft, hop)
+    if win_mode != "quantized":
+        raise ValueError("win_mode must be 'quantized' or 'float'")
     if isinstance(name_or_coeffs, str):
         d = catalog.get(name_or_coeffs)
         coeffs_q, shift = d.quantized(spec.data_width), d.shift
