@@ -188,7 +188,11 @@ def cmd_gen(args) -> int:
     d = catalog.get(args.window)
     coeffs_q = d.quantized(spec.data_width)
 
-    if args.mode == "outer":
+    if args.mode == "float":
+        from .kernels.floatwin import float_window
+
+        win = float_window(args.window, spec.phase_width)
+    elif args.mode == "outer":
         from .kernels.outerwin import window_block_outer
 
         m = min(11, spec.phase_width - 1)
@@ -206,14 +210,15 @@ def cmd_gen(args) -> int:
         win = make_window(args.window, spec)
 
     w = np.asarray(win)
+    fmt = "%.9g" if w.dtype.kind == "f" else "%d"
     if args.out:
         if args.out.endswith(".npy"):
             np.save(args.out, w)
         else:
-            np.savetxt(args.out, w, fmt="%d")
+            np.savetxt(args.out, w, fmt=fmt)
         print(f"wrote {spec.n} samples ({w.dtype}) to {args.out}")
     else:
-        np.savetxt(sys.stdout, w[: args.head] if args.head else w, fmt="%d")
+        np.savetxt(sys.stdout, w[: args.head] if args.head else w, fmt=fmt)
 
     if args.measure_floor:
         from .utils.spectral import window_sidelobe_db
@@ -351,10 +356,12 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("gen", help="generate a quantized window")
     _add_spec_args(p)
-    p.add_argument("--mode", choices=("exact", "taylor2", "outer"),
+    p.add_argument("--mode", choices=("exact", "taylor2", "outer", "float"),
                    default="exact",
                    help="exact = bit-exact CORDIC datapath; taylor2/outer = "
-                        "fast modes (spectrally validated)")
+                        "int fast modes (spectrally validated); float = "
+                        "native float32 generation (kernels/floatwin.py, "
+                        "unit amplitude — for float consumers)")
     p.add_argument("--out", help=".npy or text file (default: stdout)")
     p.add_argument("--head", type=int, default=0,
                    help="print only the first N samples to stdout")

@@ -256,3 +256,22 @@ def quantized_stft_pair(name: str, spec: WindowSpec, hop: int | None = None):
         return istft(s, win, hop, length)
 
     return fwd, inv, win
+
+
+def float_stft_pair(name: str, pw: int, hop: int | None = None):
+    """(stft_fn, istft_fn, win) pair over the native float32 window
+    (``kernels/floatwin.py`` — no int datapath, no convert pass; same
+    floors through 5-term windows, BH-7 ~ -163 dB).  nfft = 2^pw."""
+    from ..kernels.floatwin import float_window
+
+    nfft = 1 << pw
+    hop = hop or nfft // 2
+    win = float_window(name, pw)
+
+    def fwd(x):
+        return stft(x, win, nfft, hop)
+
+    def inv(s, length=None):
+        return istft(s, win, hop, length)
+
+    return fwd, inv, win

@@ -52,6 +52,28 @@ def test_gen_fast_modes(tmp_path, mode, capsys):
     assert w.max() <= 2**30 and len(w) == 4096
 
 
+def test_gen_float_mode(tmp_path, capsys):
+    f = tmp_path / "w.npy"
+    assert main([
+        "gen", "bh7", "--phase-width", "12",
+        "--mode", "float", "--out", str(f), "--measure-floor",
+    ]) == 0
+    w = np.load(f)
+    assert w.dtype == np.float32 and len(w) == 4096
+    assert 0.9 <= w.max() <= 1.0  # unit amplitude, not quantized counts
+    err = capsys.readouterr().err
+    floor = json.loads(err.splitlines()[-1])["measured_sidelobe_db"]
+    assert floor <= -150.0  # f32 holds ~-163 of the -180 contract
+
+
+def test_gen_float_mode_text_output(capsys):
+    assert main([
+        "gen", "hann", "--phase-width", "4", "--mode", "float", "--head", "4",
+    ]) == 0
+    vals = [float(v) for v in capsys.readouterr().out.split()]
+    assert abs(vals[0]) < 1e-6  # hann[0] = 0
+
+
 def test_spectrum_roundtrip(tmp_path):
     rng = np.random.default_rng(0)
     x = rng.normal(size=4096).astype(np.float32)

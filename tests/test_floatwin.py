@@ -144,6 +144,21 @@ class TestPipelineIntegration:
         np.testing.assert_allclose(got, single, rtol=0, atol=2e-7)
 
 
+class TestFloatStftPair:
+    def test_round_trip(self):
+        from blackman_harris_win_tpu.pipeline.stft import float_stft_pair
+
+        fwd, inv, win = float_stft_pair("bh4", 7, hop=32)
+        assert win.dtype == jnp.float32 and win.shape == (128,)
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.normal(size=(512,)).astype(np.float32))
+        y = np.asarray(inv(fwd(x), length=512))
+        # WOLA with per-sample normalization reconstructs the interior
+        np.testing.assert_allclose(
+            y[128:-128], np.asarray(x)[128:-128], atol=1e-4
+        )
+
+
 class TestInKernelReduceF32:
     def test_interpret_checksum_matches_jnp(self):
         from blackman_harris_win_tpu.kernels.pallas.outerwin_kernel import (
