@@ -104,6 +104,7 @@ def make_sharded_welch(
     shift: int,
     nfft: int,
     hop: int,
+    win_mode: str = "quantized",
 ):
     """Build the sharded analyzer step.
 
@@ -114,17 +115,40 @@ def make_sharded_welch(
     Per shard: generate the window locally (no comm), frame its time chunk
     with a circular right halo of nfft-hop samples (ppermute), FFT, and
     pmean the power over the 'blocks' axis (psum collective).
+
+    ``win_mode="float"`` generates the window natively in float32 on every
+    shard (``kernels/floatwin.py`` — ``coeffs_q``/``shift`` are then
+    ignored and the *float* catalog coefficients are used via
+    ``spec``-independent tables; pass the window name in ``coeffs_q``).
     """
-    coeffs_q = tuple(int(c) for c in coeffs_q)
     halo = nfft - hop
-    scale = window_scale(spec, shift)
+
+    if win_mode == "float":
+        if nfft != spec.n:
+            raise ValueError("float win_mode needs nfft == 2^phase_width")
+        name_or_coeffs = coeffs_q  # catalog name or float coeffs
+
+        def make_win():
+            from ..kernels.floatwin import float_window
+
+            return float_window(name_or_coeffs, spec.phase_width)
+    elif win_mode == "quantized":
+        coeffs_q = tuple(int(c) for c in coeffs_q)
+        scale = window_scale(spec, shift)
+
+        def make_win():
+            wq = window_samples(
+                jnp.arange(nfft, dtype=jnp.int32), coeffs_q, spec
+            )
+            return wq.astype(jnp.float32) * jnp.float32(scale)
+    else:
+        raise ValueError("win_mode must be 'quantized' or 'float'")
 
     def shard_fn(x):  # x: (C_local, B)
         b = x.shape[-1]
         if b % hop:
             raise ValueError(f"shard block {b} must be a multiple of hop {hop}")
-        wq = window_samples(jnp.arange(nfft, dtype=jnp.int32), coeffs_q, spec)
-        win = wq.astype(jnp.float32) * jnp.float32(scale)
+        win = make_win()
         xh = with_right_halo(x, halo, "blocks", circular=True)
         p = welch_power(xh, win, nfft, hop)  # frames starting in this shard
         return lax.pmean(p, "blocks")

@@ -116,6 +116,35 @@ class TestShardedWelchEqualsSingle:
         assert got.shape == (c_total, nfft // 2 + 1)
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-4)
 
+    def test_float_mode_equality(self, channels, blocks):
+        """win_mode='float': every shard generates the native f32 window
+        (kernels/floatwin.py); must equal the single-device float-window
+        analyzer on the same circular framing."""
+        from blackman_harris_win_tpu.kernels.floatwin import float_window
+
+        mesh = make_mesh(blocks=blocks, channels=channels)
+        spec = WindowSpec(7, 17)
+        nfft, hop = 128, 64
+        d = catalog.get("bh4")
+
+        c_total, t = 2 * channels, blocks * 512
+        rng = np.random.default_rng(43)
+        x = rng.normal(size=(c_total, t)).astype(np.float32)
+
+        step = jax.jit(make_sharded_welch(
+            mesh, spec, "bh4", d.shift, nfft, hop, win_mode="float"))
+        xs = jax.device_put(
+            jnp.asarray(x), NamedSharding(mesh, P("channels", "blocks"))
+        )
+        got = np.asarray(step(xs))
+
+        win = float_window("bh4", 7)
+        x_ext = jnp.concatenate(
+            [jnp.asarray(x), jnp.asarray(x[:, : nfft - hop])], -1)
+        want = np.asarray(welch_power(x_ext, win, nfft, hop))
+        assert got.shape == (c_total, nfft // 2 + 1)
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-4)
+
 
 class TestShardedWindowBitEqual:
     def test_sharded_generation_bit_equal(self):
