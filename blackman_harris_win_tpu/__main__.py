@@ -247,7 +247,8 @@ def cmd_spectrum(args) -> int:
     x = _load_real_signal(args, np, min_len=spec.n)
     hop = args.hop or spec.n // 2
     p = windowed_power_spectrum(
-        jnp.asarray(x, jnp.float32), args.window, spec, hop=hop
+        jnp.asarray(x, jnp.float32), args.window, spec, hop=hop,
+        win_mode=getattr(args, "win_mode", "quantized"),
     )
     p = np.asarray(p)
     if args.out:
@@ -387,6 +388,11 @@ def main(argv=None) -> int:
     p.add_argument("--count", type=int, default=0,
                    help="raw samples to read (default: to end of file)")
     p.add_argument("--hop", type=int, default=0, help="frame hop (default nfft/2)")
+    p.add_argument("--win-mode", choices=("quantized", "float"),
+                   default="quantized",
+                   help="quantized = reference integer window datapath; "
+                        "float = native float32 generation "
+                        "(kernels/floatwin.py)")
     p.add_argument("--out", help="output spectrum .npy (default: dB to stdout)")
     p.set_defaults(fn=cmd_spectrum)
 

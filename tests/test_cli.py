@@ -66,6 +66,21 @@ def test_gen_float_mode(tmp_path, capsys):
     assert floor <= -150.0  # f32 holds ~-163 of the -180 contract
 
 
+def test_spectrum_float_win_mode(tmp_path, capsys):
+    n = 4 * 1024
+    t = np.arange(n)
+    x = np.sin(2 * np.pi * 0.25 * t).astype(np.float32)
+    f = tmp_path / "x.npy"
+    np.save(f, x)
+    assert main([
+        "spectrum", "bh4", "--phase-width", "10", "--input", str(f),
+        "--win-mode", "float",
+    ]) == 0
+    db = np.array([float(v) for v in capsys.readouterr().out.split()])
+    assert db.shape == (513,)
+    assert int(np.argmax(db)) == 256  # tone at fs/4
+
+
 def test_gen_float_mode_text_output(capsys):
     assert main([
         "gen", "hann", "--phase-width", "4", "--mode", "float", "--head", "4",
