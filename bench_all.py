@@ -365,7 +365,9 @@ def main():
                     t, int_ops=float_window_flops(reps12 * (1 << pw6), 7))})
     print(json.dumps(out[-1]), flush=True)
 
-    fn13 = make_checksum_fn_f32("bh7", pw6, m=m6, rows=256)
+    # rows=512 fits the f32 kernel's VMEM (fewer temporaries than the int
+    # limb path, which OOMs there) and gains ~5% over 256; 1024 OOMs.
+    fn13 = make_checksum_fn_f32("bh7", pw6, m=m6, rows=512)
 
     @jax.jit
     def gen_f32_pl(seed):
