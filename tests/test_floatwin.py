@@ -144,6 +144,18 @@ class TestPipelineIntegration:
         np.testing.assert_allclose(got, single, rtol=0, atol=2e-7)
 
 
+class TestDesignedWindows:
+    def test_designed_coeffs_through_float_path(self):
+        """windows/design.py output feeds float_window directly: a designed
+        K=4 minimax set (the -98 dB blackman_nuttall optimum) generated
+        natively in f32 must hold its designed floor."""
+        from blackman_harris_win_tpu.windows.design import design_min_sidelobe
+
+        r = design_min_sidelobe(4)
+        w = np.asarray(float_window(tuple(r.coeffs), 14), np.float64)
+        assert window_sidelobe_db(w) <= r.sidelobe_db + 1.0  # dB, small slack
+
+
 class TestFloatStftPair:
     def test_round_trip(self):
         from blackman_harris_win_tpu.pipeline.stft import float_stft_pair
