@@ -123,8 +123,6 @@ def float_window(name_or_coeffs, pw: int, m: int | None = None):
         m = min(DEFAULT_SPLIT, pw - 1) if pw > 1 else 0
     if m <= 0:
         # degenerate tiny windows: evaluate directly in f64 on host
-        from ..windows import catalog
-
         coeffs = _resolve_coeffs(name_or_coeffs)
         n = np.arange(1 << pw)
         acc = np.full(n.shape, coeffs[0], np.float64)

@@ -35,6 +35,23 @@ def window_scale(spec: WindowSpec, shift: int) -> float:
     return 1.0 / (2.0 ** (spec.data_width - shift) - 1.0)
 
 
+def _check_float_window_arg(name_or_coeffs):
+    """Guard the ``win_mode="float"`` argument: it must be a catalog name or
+    a *float* coefficient tuple (|a_k| <= 1).  A caller that flips the mode
+    flag while still passing the usual quantized-integer tuple would
+    otherwise get a silently wrong window with integer-count amplitudes."""
+    if isinstance(name_or_coeffs, str):
+        return name_or_coeffs
+    coeffs = tuple(float(c) for c in name_or_coeffs)
+    if not coeffs or max(abs(c) for c in coeffs) > 1.0:
+        raise ValueError(
+            "win_mode='float' takes a window name or float coefficients "
+            f"with |a_k| <= 1, got {name_or_coeffs!r} (looks like a "
+            "quantized integer set — use win_mode='quantized' for those)"
+        )
+    return coeffs
+
+
 def frames_view(x, nfft: int, hop: int):
     """Overlapped frames of the last axis: (..., T) -> (..., nF, nfft) with
     frame m = x[..., m*hop : m*hop+nfft]; requires T >= nfft and exact tiling
@@ -83,7 +100,8 @@ def windowed_power_spectrum(x, name_or_coeffs, spec: WindowSpec, hop=None,
     if win_mode == "float":
         from ..kernels.floatwin import float_window
 
-        win = float_window(name_or_coeffs, spec.phase_width)
+        win = float_window(_check_float_window_arg(name_or_coeffs),
+                           spec.phase_width)
         return welch_power(x, win, nfft, hop)
     if win_mode != "quantized":
         raise ValueError("win_mode must be 'quantized' or 'float'")
@@ -126,7 +144,7 @@ def make_sharded_welch(
     if win_mode == "float":
         if nfft != spec.n:
             raise ValueError("float win_mode needs nfft == 2^phase_width")
-        name_or_coeffs = coeffs_q  # catalog name or float coeffs
+        name_or_coeffs = _check_float_window_arg(coeffs_q)
 
         def make_win():
             from ..kernels.floatwin import float_window

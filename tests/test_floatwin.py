@@ -121,6 +121,31 @@ class TestPipelineIntegration:
         with pytest.raises(ValueError, match="win_mode"):
             windowed_power_spectrum(x, "bh4", spec, win_mode="nope")
 
+    def test_float_mode_rejects_quantized_tuple(self):
+        """ADVICE r3: flipping win_mode='float' while passing the usual
+        quantized-integer coefficient tuple must raise, not silently
+        generate an integer-amplitude window."""
+        from blackman_harris_win_tpu.core.config import WindowSpec
+        from blackman_harris_win_tpu.pipeline.spectral import (
+            make_sharded_welch,
+            windowed_power_spectrum,
+        )
+        from blackman_harris_win_tpu.windows import catalog
+
+        spec = WindowSpec(8, 17)
+        q = catalog.get("bh4").quantized(17)
+        x = jnp.zeros((1, 1024), jnp.float32)
+        with pytest.raises(ValueError, match="quantized integer"):
+            windowed_power_spectrum(x, q, spec, win_mode="float")
+        from blackman_harris_win_tpu.dist.mesh import make_mesh
+
+        mesh = make_mesh(blocks=1)
+        with pytest.raises(ValueError, match="quantized integer"):
+            make_sharded_welch(mesh, spec, q, 1, 256, 128, win_mode="float")
+        # float coefficient tuples still pass through
+        pf = windowed_power_spectrum(x, (0.5, 0.5), spec, win_mode="float")
+        assert pf.shape == (1, 129)
+
     def test_sharded_float_window(self):
         from blackman_harris_win_tpu.dist.generate import sharded_float_window
         from blackman_harris_win_tpu.dist.mesh import make_mesh
