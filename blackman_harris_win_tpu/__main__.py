@@ -192,6 +192,16 @@ def cmd_gen(args) -> int:
         from .kernels.floatwin import float_window
 
         win = float_window(args.window, spec.phase_width)
+    elif args.mode in ("comp", "comp-pair"):
+        from .kernels.compwin import comp_window
+
+        if args.mode == "comp-pair":
+            import numpy as _np
+
+            hi, lo = comp_window(args.window, spec.phase_width, pair=True)
+            win = _np.stack([_np.asarray(hi), _np.asarray(lo)])  # (2, N)
+        else:
+            win = comp_window(args.window, spec.phase_width)
     elif args.mode == "outer":
         from .kernels.outerwin import window_block_outer
 
@@ -223,11 +233,14 @@ def cmd_gen(args) -> int:
     if args.measure_floor:
         from .utils.spectral import window_sidelobe_db
 
+        w64 = w.astype(np.float64)
+        if w64.ndim == 2:  # comp-pair: the floor of hi + lo
+            w64 = w64[0] + w64[1]
         print(
             json.dumps(
                 {
                     "measured_sidelobe_db": round(
-                        float(window_sidelobe_db(w.astype(np.float64))), 2
+                        float(window_sidelobe_db(w64)), 2
                     ),
                     "published_db": d.sidelobe_db,
                 }
@@ -357,12 +370,17 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("gen", help="generate a quantized window")
     _add_spec_args(p)
-    p.add_argument("--mode", choices=("exact", "taylor2", "outer", "float"),
+    p.add_argument("--mode",
+                   choices=("exact", "taylor2", "outer", "float", "comp",
+                            "comp-pair"),
                    default="exact",
                    help="exact = bit-exact CORDIC datapath; taylor2/outer = "
                         "int fast modes (spectrally validated); float = "
                         "native float32 generation (kernels/floatwin.py, "
-                        "unit amplitude — for float consumers)")
+                        "unit amplitude — for float consumers); comp = "
+                        "compensated f32 (best f32 window, kernels/"
+                        "compwin.py); comp-pair = (hi, lo) rows holding "
+                        "the full -180 dB floor")
     p.add_argument("--out", help=".npy or text file (default: stdout)")
     p.add_argument("--head", type=int, default=0,
                    help="print only the first N samples to stdout")
@@ -388,11 +406,13 @@ def main(argv=None) -> int:
     p.add_argument("--count", type=int, default=0,
                    help="raw samples to read (default: to end of file)")
     p.add_argument("--hop", type=int, default=0, help="frame hop (default nfft/2)")
-    p.add_argument("--win-mode", choices=("quantized", "float"),
+    p.add_argument("--win-mode", choices=("quantized", "float", "comp"),
                    default="quantized",
                    help="quantized = reference integer window datapath; "
                         "float = native float32 generation "
-                        "(kernels/floatwin.py)")
+                        "(kernels/floatwin.py); comp = compensated-f32 "
+                        "pair window apply (full -180 dB floor, "
+                        "kernels/compwin.py)")
     p.add_argument("--out", help="output spectrum .npy (default: dB to stdout)")
     p.set_defaults(fn=cmd_spectrum)
 

@@ -79,6 +79,37 @@ def sharded_float_window(name_or_coeffs, pw: int, mesh: Mesh,
     return fn()
 
 
+def sharded_comp_window(name_or_coeffs, pw: int, mesh: Mesh,
+                        axis: str = "blocks"):
+    """Full 2^pw compensated-f32 window (``kernels/compwin.py``) sharded
+    over ``axis`` as an (hi, lo) pair — zero-communication phase-split
+    generation holding the full −180 dB BH-7 floor for float consumers."""
+    from ..kernels.compwin import comp_window_block
+    from ..kernels.floatwin import DEFAULT_SPLIT
+
+    nshards = mesh.shape[axis]
+    n = 1 << pw
+    if n % nshards:
+        raise ValueError(f"window length {n} not divisible by {nshards} shards")
+    block = n // nshards
+    m = min(DEFAULT_SPLIT, block.bit_length() - 1)
+    rows = block >> m
+
+    def shard_fn():
+        i = jax.lax.axis_index(axis)
+        return comp_window_block(i * block, rows, name_or_coeffs, pw, m=m)
+
+    fn = jax.jit(
+        shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(),
+            out_specs=(P(axis), P(axis)),
+        )
+    )
+    return fn()
+
+
 def window_shard_fn(coeffs_q, spec: WindowSpec, axis: str, block: int):
     """The per-shard generator for use *inside* a larger shard_mapped step:
     returns this shard's [i*B, (i+1)*B) window block (no communication)."""

@@ -140,33 +140,51 @@ def _two_sum(s, e):
     return hi, lo
 
 
+def pack_tables(hi_c, lo_c, hi_p, lo_p):
+    """Pack the stacked tables into 2D arrays whose sliced axis is a plain
+    leading/trailing dim (so a Pallas BlockSpec can stream the h-axis):
+
+      hic (nh, 4C): columns 4k+{0..3} = ch_hi, ch_lo, sh_hi, sh_lo of
+        compensated harmonic k;
+      loc (6C, nl): rows 6k+{0..5} = cl_hi, cl_lo, cl_f, sl_hi, sl_lo, sl_f;
+      hip (nh, 2P) / lop (2P, nl): the plain-harmonic pairs likewise.
+    """
+    c, nh = hi_c.shape[0], hi_c.shape[1]
+    p, nhp = hi_p.shape[0], hi_p.shape[1]
+    hic = np.transpose(hi_c, (1, 0, 2)).reshape(nh, 4 * c)
+    loc = np.transpose(lo_c, (0, 2, 1)).reshape(6 * c, lo_c.shape[1])
+    hip = np.transpose(hi_p, (1, 0, 2)).reshape(nhp, 2 * p)
+    lop = np.transpose(lo_p, (0, 2, 1)).reshape(2 * p, lo_p.shape[1])
+    return hic, loc, hip, lop
+
+
 def comp_tile(s, e, hic_blk, loc_t, hip_blk, lop_t):
     """Accumulate all harmonics onto (s, e) tiles — factored so the Pallas
     in-kernel-reduce twin (``pallas/outerwin_kernel.py:make_checksum_fn_comp``)
     and the jnp path share the exact arithmetic.
 
-    hic_blk (C, rows, 4) / hip_blk (P, rows, 2): h-axis table slices;
-    loc_t (C, nl, 6) / lop_t (P, nl, 2): lo-axis tables.
+    hic_blk (rows, 4C) / hip_blk (rows, 2P): h-axis slices of the packed
+    tables (:func:`pack_tables`); loc_t (6C, nl) / lop_t (2P, nl).
     """
-    for k in range(hic_blk.shape[0]):
-        ch_hi = hic_blk[k, :, 0][:, None]
-        ch_lo = hic_blk[k, :, 1][:, None]
-        sh_hi = hic_blk[k, :, 2][:, None]
-        sh_lo = hic_blk[k, :, 3][:, None]
-        cl_hi = loc_t[k, :, 0][None, :]
-        cl_lo = loc_t[k, :, 1][None, :]
-        cl_f = loc_t[k, :, 2][None, :]
-        sl_hi = loc_t[k, :, 3][None, :]
-        sl_lo = loc_t[k, :, 4][None, :]
-        sl_f = loc_t[k, :, 5][None, :]
+    for k in range(hic_blk.shape[1] // 4):
+        ch_hi = hic_blk[:, 4 * k + 0][:, None]
+        ch_lo = hic_blk[:, 4 * k + 1][:, None]
+        sh_hi = hic_blk[:, 4 * k + 2][:, None]
+        sh_lo = hic_blk[:, 4 * k + 3][:, None]
+        cl_hi = loc_t[6 * k + 0][None, :]
+        cl_lo = loc_t[6 * k + 1][None, :]
+        cl_f = loc_t[6 * k + 2][None, :]
+        sl_hi = loc_t[6 * k + 3][None, :]
+        sl_lo = loc_t[6 * k + 4][None, :]
+        sl_f = loc_t[6 * k + 5][None, :]
         s = s + (ch_hi * cl_hi - sh_hi * sl_hi)  # exact on the 2^-22 grid
         e = e + ((ch_hi * cl_lo + ch_lo * cl_f)
                  - (sh_hi * sl_lo + sh_lo * sl_f))
-    for k in range(hip_blk.shape[0]):
-        ch = hip_blk[k, :, 0][:, None]
-        sh = hip_blk[k, :, 1][:, None]
-        cl = lop_t[k, :, 0][None, :]
-        sl = lop_t[k, :, 1][None, :]
+    for k in range(hip_blk.shape[1] // 2):
+        ch = hip_blk[:, 2 * k + 0][:, None]
+        sh = hip_blk[:, 2 * k + 1][:, None]
+        cl = lop_t[2 * k + 0][None, :]
+        sl = lop_t[2 * k + 1][None, :]
         e = e + (ch * cl - sh * sl)
     return s, e
 
@@ -187,19 +205,18 @@ def comp_window_block(n0, rows: int, name_or_coeffs, pw: int,
     hi_c, lo_c, hi_p, lo_p, a0_hi, a0_lo = _tables_comp(
         coeffs, pw, m, g, thresh
     )
-    hic_t, loc_t = jnp.asarray(hi_c), jnp.asarray(lo_c)
-    hip_t, lop_t = jnp.asarray(hi_p), jnp.asarray(lo_p)
+    hic_np, loc_np, hip_np, lop_np = pack_tables(hi_c, lo_c, hi_p, lo_p)
+    hic_t, loc_t = jnp.asarray(hic_np), jnp.asarray(loc_np)
+    hip_t, lop_t = jnp.asarray(hip_np), jnp.asarray(lop_np)
     nl = 1 << m
 
     h0 = jnp.asarray(n0, jnp.int32) >> m
     zero = jnp.int32(0)
 
     def slice_h(t):
-        if t.shape[0] == 0:
-            return jnp.zeros((0, rows, t.shape[2]), jnp.float32)
-        return jax.lax.dynamic_slice(
-            t, (zero, h0, zero), (t.shape[0], rows, t.shape[2])
-        )
+        if t.shape[1] == 0:
+            return jnp.zeros((rows, 0), jnp.float32)
+        return jax.lax.dynamic_slice(t, (h0, zero), (rows, t.shape[1]))
 
     s = jnp.full((rows, nl), a0_hi, jnp.float32)
     e = jnp.full((rows, nl), a0_lo, jnp.float32)

@@ -141,6 +141,101 @@ def make_checksum_fn(coeffs_q, spec: WindowSpec, m: int = 11,
     return checksum
 
 
+def _reduce_kernel_comp(bias_ref, hic_ref, loc_ref, hip_ref, lop_ref,
+                        out_ref, *, a0_hi, a0_lo):
+    """Compensated-f32 tile generate + TwoSum fold + reduce: one f32
+    partial (sum hi + sum lo) per grid step (``kernels/compwin.py``)."""
+    from ..compwin import _two_sum, comp_tile
+
+    rows = hic_ref.shape[0]
+    nl = loc_ref.shape[1]
+    s = jnp.full((rows, nl), a0_hi, jnp.float32)
+    e = jnp.full((rows, nl), a0_lo, jnp.float32)
+    hip = hip_ref[:] if hip_ref is not None else jnp.zeros((rows, 0),
+                                                           jnp.float32)
+    lop = lop_ref[:] if lop_ref is not None else jnp.zeros((0, nl),
+                                                           jnp.float32)
+    s, e = comp_tile(s, e, hic_ref[:], loc_ref[:], hip, lop)
+    hi, lo = _two_sum(s, e)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[0, 0] = bias_ref[0].astype(jnp.float32)
+
+    out_ref[0, 0] += jnp.sum(hi) + jnp.sum(lo)
+
+
+def make_checksum_fn_comp(name_or_coeffs, pw: int, m: int = 11,
+                          rows: int = 128, interpret: bool = False):
+    """Compensated-f32 twin of :func:`make_checksum_fn_f32`: full-period
+    (hi + lo) window sum with the whole compensated pipeline — grid
+    products, correction accumulator, TwoSum fold — inside the kernel, one
+    f32 partial per grid step.  Timing checksum (gate correctness on tile
+    values via ``compwin.comp_window_block``, not this scalar)."""
+    from ..compwin import (
+        DEFAULT_THRESH,
+        GRID_BITS,
+        _resolve_coeffs,
+        _tables_comp,
+        pack_tables,
+    )
+
+    coeffs = _resolve_coeffs(name_or_coeffs)
+    hi_c, lo_c, hi_p, lo_p, a0_hi, a0_lo = _tables_comp(
+        coeffs, pw, m, GRID_BITS, DEFAULT_THRESH
+    )
+    hic_np, loc_np, hip_np, lop_np = pack_tables(hi_c, lo_c, hi_p, lo_p)
+    nh, c4 = hic_np.shape
+    nl = loc_np.shape[1]
+    p2 = hip_np.shape[1]
+    if nh % rows:
+        raise ValueError(f"2^(pw-m) = {nh} not divisible by rows = {rows}")
+    grid = nh // rows
+
+    has_plain = p2 > 0
+    kern = functools.partial(
+        _reduce_kernel_comp, a0_hi=float(a0_hi), a0_lo=float(a0_lo)
+    )
+    if not has_plain:
+        kern = functools.partial(
+            lambda b, hic, loc, out, *, k: k(b, hic, loc, None, None, out),
+            k=kern,
+        )
+    in_specs = [
+        pl.BlockSpec((rows, c4), lambda i, b: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((6 * (c4 // 4), nl), lambda i, b: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [jnp.asarray(hic_np), jnp.asarray(loc_np)]
+    if has_plain:
+        in_specs += [
+            pl.BlockSpec((rows, p2), lambda i, b: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((p2, nl), lambda i, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        args += [jnp.asarray(hip_np), jnp.asarray(lop_np)]
+    call = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(grid,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, 1), lambda i, b: (0, 0),
+                                   memory_space=pltpu.SMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        interpret=interpret,
+    )
+
+    def checksum(bias):
+        total = call(jnp.atleast_1d(jnp.asarray(bias, jnp.int32)), *args)
+        return total[0, 0]
+
+    return checksum
+
+
 def _reduce_kernel_f32(bias_ref, ch_ref, sh_ref, cl_ref, sl_ref, out_ref, *,
                        a0):
     """f32 tile generate + reduce: acc = a0 + sum_k (ch*cl - sh*sl), one

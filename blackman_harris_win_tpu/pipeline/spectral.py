@@ -103,8 +103,18 @@ def windowed_power_spectrum(x, name_or_coeffs, spec: WindowSpec, hop=None,
         win = float_window(_check_float_window_arg(name_or_coeffs),
                            spec.phase_width)
         return welch_power(x, win, nfft, hop)
+    if win_mode == "comp":
+        # compensated-f32 pair applied as two FMAs per sample: the frames
+        # see the window at ~2^-31 accuracy (kernels/compwin.py)
+        from ..kernels.compwin import comp_window
+
+        whi, wlo = comp_window(_check_float_window_arg(name_or_coeffs),
+                               spec.phase_width, pair=True)
+        fr = frames_view(x, nfft, hop)
+        sp = jnp.fft.rfft(fr * whi + fr * wlo, axis=-1)
+        return jnp.mean(jnp.abs(sp) ** 2, axis=-2)
     if win_mode != "quantized":
-        raise ValueError("win_mode must be 'quantized' or 'float'")
+        raise ValueError("win_mode must be 'quantized', 'float' or 'comp'")
     if isinstance(name_or_coeffs, str):
         d = catalog.get(name_or_coeffs)
         coeffs_q, shift = d.quantized(spec.data_width), d.shift
@@ -138,18 +148,28 @@ def make_sharded_welch(
     shard (``kernels/floatwin.py`` — ``coeffs_q``/``shift`` are then
     ignored and the *float* catalog coefficients are used via
     ``spec``-independent tables; pass the window name in ``coeffs_q``).
+    ``win_mode="comp"`` uses the compensated-f32 pair
+    (``kernels/compwin.py``): frames are windowed as fr*hi + fr*lo, so
+    the applied window holds the full −180 dB BH-7 floor.
     """
     halo = nfft - hop
 
-    if win_mode == "float":
+    if win_mode in ("float", "comp"):
         if nfft != spec.n:
-            raise ValueError("float win_mode needs nfft == 2^phase_width")
+            raise ValueError(f"{win_mode} win_mode needs nfft == 2^phase_width")
         name_or_coeffs = _check_float_window_arg(coeffs_q)
 
-        def make_win():
-            from ..kernels.floatwin import float_window
+        if win_mode == "float":
+            def make_win():
+                from ..kernels.floatwin import float_window
 
-            return float_window(name_or_coeffs, spec.phase_width)
+                return float_window(name_or_coeffs, spec.phase_width)
+        else:
+            def make_win():
+                from ..kernels.compwin import comp_window
+
+                return comp_window(name_or_coeffs, spec.phase_width,
+                                   pair=True)
     elif win_mode == "quantized":
         coeffs_q = tuple(int(c) for c in coeffs_q)
         scale = window_scale(spec, shift)
@@ -160,7 +180,7 @@ def make_sharded_welch(
             )
             return wq.astype(jnp.float32) * jnp.float32(scale)
     else:
-        raise ValueError("win_mode must be 'quantized' or 'float'")
+        raise ValueError("win_mode must be 'quantized', 'float' or 'comp'")
 
     def shard_fn(x):  # x: (C_local, B)
         b = x.shape[-1]
@@ -168,7 +188,13 @@ def make_sharded_welch(
             raise ValueError(f"shard block {b} must be a multiple of hop {hop}")
         win = make_win()
         xh = with_right_halo(x, halo, "blocks", circular=True)
-        p = welch_power(xh, win, nfft, hop)  # frames starting in this shard
+        if isinstance(win, tuple):  # compensated (hi, lo) pair
+            whi, wlo = win
+            fr = frames_view(xh, nfft, hop)
+            sp = jnp.fft.rfft(fr * whi + fr * wlo, axis=-1)
+            p = jnp.mean(jnp.abs(sp) ** 2, axis=-2)
+        else:
+            p = welch_power(xh, win, nfft, hop)  # frames in this shard
         return lax.pmean(p, "blocks")
 
     return shard_map(

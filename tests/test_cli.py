@@ -81,6 +81,43 @@ def test_spectrum_float_win_mode(tmp_path, capsys):
     assert int(np.argmax(db)) == 256  # tone at fs/4
 
 
+def test_gen_comp_modes(tmp_path, capsys):
+    f = tmp_path / "w.npy"
+    assert main([
+        "gen", "bh7", "--phase-width", "16",
+        "--mode", "comp-pair", "--out", str(f), "--measure-floor",
+    ]) == 0
+    w = np.load(f)
+    assert w.dtype == np.float32 and w.shape == (2, 65536)
+    err = capsys.readouterr().err
+    floor = json.loads(err.splitlines()[-1])["measured_sidelobe_db"]
+    assert floor <= -180.0  # the pair holds the full BH-7 contract
+
+    f2 = tmp_path / "wf.npy"
+    assert main([
+        "gen", "bh7", "--phase-width", "12", "--mode", "comp",
+        "--out", str(f2),
+    ]) == 0
+    wf = np.load(f2)
+    assert wf.dtype == np.float32 and wf.shape == (4096,)
+    assert 0.9 <= wf.max() <= 1.0  # unit amplitude
+
+
+def test_spectrum_comp_win_mode(tmp_path, capsys):
+    n = 4 * 1024
+    t = np.arange(n)
+    x = np.sin(2 * np.pi * 0.25 * t).astype(np.float32)
+    f = tmp_path / "x.npy"
+    np.save(f, x)
+    assert main([
+        "spectrum", "bh4", "--phase-width", "10", "--input", str(f),
+        "--win-mode", "comp",
+    ]) == 0
+    db = np.array([float(v) for v in capsys.readouterr().out.split()])
+    assert db.shape == (513,)
+    assert int(np.argmax(db)) == 256  # tone at fs/4
+
+
 def test_gen_float_mode_text_output(capsys):
     assert main([
         "gen", "hann", "--phase-width", "4", "--mode", "float", "--head", "4",

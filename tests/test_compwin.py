@@ -170,6 +170,106 @@ class TestOpModel:
         assert comp_window_flops(4, (0.5, 0.5)) == 4 * (12 + 6)
 
 
+class TestInKernelReduceComp:
+    def test_interpret_checksum_matches_jnp(self):
+        from blackman_harris_win_tpu.kernels.pallas.outerwin_kernel import (
+            make_checksum_fn_comp,
+        )
+
+        pw, m = 12, 7
+        fn = make_checksum_fn_comp("bh7", pw, m=m, rows=8, interpret=True)
+        got = float(fn(jnp.int32(0)))
+        hi, lo = comp_window("bh7", pw, m=m, pair=True)
+        want = float(jnp.sum(hi) + jnp.sum(lo))
+        assert abs(got - want) < 1e-2 * max(1.0, abs(want))
+        got_b = float(fn(jnp.int32(5)))
+        assert abs(got_b - (got + 5.0)) < 1e-2
+
+    def test_interpret_no_plain_harmonics(self):
+        """A window whose every harmonic is compensated exercises the
+        no-plain-refs kernel variant."""
+        from blackman_harris_win_tpu.kernels.pallas.outerwin_kernel import (
+            make_checksum_fn_comp,
+        )
+
+        pw, m = 11, 6
+        fn = make_checksum_fn_comp("hamming", pw, m=m, rows=8, interpret=True)
+        got = float(fn(jnp.int32(0)))
+        hi, lo = comp_window("hamming", pw, m=m, pair=True)
+        want = float(jnp.sum(hi) + jnp.sum(lo))
+        assert abs(got - want) < 1e-2 * max(1.0, abs(want))
+
+    def test_rows_must_divide(self):
+        from blackman_harris_win_tpu.kernels.pallas.outerwin_kernel import (
+            make_checksum_fn_comp,
+        )
+
+        with pytest.raises(ValueError, match="divisible"):
+            make_checksum_fn_comp("bh7", 12, m=7, rows=24)
+
+
+class TestPipelineIntegration:
+    def test_welch_comp_mode_matches_float(self):
+        from blackman_harris_win_tpu.core.config import WindowSpec
+        from blackman_harris_win_tpu.pipeline.spectral import (
+            windowed_power_spectrum,
+        )
+
+        spec = WindowSpec(8, 17)
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.normal(size=(2, 1024)).astype(np.float32))
+        pf = np.asarray(
+            windowed_power_spectrum(x, "bh4", spec, win_mode="float")
+        )
+        pc = np.asarray(
+            windowed_power_spectrum(x, "bh4", spec, win_mode="comp")
+        )
+        assert pc.shape == pf.shape
+        np.testing.assert_allclose(pc, pf, rtol=1e-4, atol=1e-7)
+        with pytest.raises(ValueError, match="quantized integer"):
+            windowed_power_spectrum(
+                x, (40000, 30000), spec, win_mode="comp"
+            )
+
+    def test_sharded_welch_comp_mode(self):
+        from blackman_harris_win_tpu.core.config import WindowSpec
+        from blackman_harris_win_tpu.dist.mesh import make_mesh
+        from blackman_harris_win_tpu.pipeline.spectral import (
+            make_sharded_welch,
+            windowed_power_spectrum,
+        )
+
+        n_dev = len(jax.devices())
+        mesh = make_mesh(blocks=n_dev)
+        spec = WindowSpec(8, 17)
+        nfft, hop = 256, 128
+        rng = np.random.default_rng(8)
+        x = jnp.asarray(rng.normal(size=(2, 4096)).astype(np.float32))
+        fn = make_sharded_welch(mesh, spec, "bh7", 2, nfft, hop,
+                                win_mode="comp")
+        got = np.asarray(jax.jit(fn)(x))
+        # sharded Welch is circular (right halo wraps); compare vs the
+        # single-device circular equivalent
+        xw = jnp.concatenate([x, x[:, :nfft - hop]], axis=1)
+        want = np.asarray(
+            windowed_power_spectrum(xw, "bh7", spec, hop=hop,
+                                    win_mode="comp")
+        )
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-8)
+
+    def test_sharded_comp_window_pair(self):
+        from blackman_harris_win_tpu.dist.generate import sharded_comp_window
+        from blackman_harris_win_tpu.dist.mesh import make_mesh
+
+        n_dev = len(jax.devices())
+        mesh = make_mesh(blocks=n_dev)
+        pw = 14
+        hi, lo = sharded_comp_window("bh7", pw, mesh)
+        assert hi.shape == lo.shape == (1 << pw,)
+        gold = float_window_value("bh7", np.arange(1 << pw), 1 << pw)
+        assert np.max(np.abs(_pair64(hi, lo) - gold)) < 5e-9
+
+
 class TestDesignedWindows:
     def test_designed_7term_through_comp_path(self):
         """The −253 dB designed LP solution cannot survive any f32 output,
