@@ -325,15 +325,35 @@ def window_values(n, coeffs_q, spec: WindowSpec):
     else:
         cos_fn = _cos_wide
 
+    # At w == 32 the int32 accumulator IS the W-bit register, so "saturate"
+    # needs wrap *tracking*: each step changes the true value by < 2^31, so
+    # a signed overflow counter ov recovers true = acc + ov * 2^32 exactly,
+    # and ov != 0 at the end means the exact accumulator left the W-bit
+    # range (clamp).  Needed e.g. for shift-1 (31-magnitude-bit) coefficient
+    # sets, where the CORDIC quadrant overshoot to 2^(w-2)+1
+    # (hls cordic cos(0) = 0x40000001) pushes the peak one past full scale.
+    track_ov = spec.overflow == "saturate" and w == 32
     acc = jnp.full(n.shape, coeffs_q[0], jnp.int32)
+    ov = jnp.zeros(n.shape, jnp.int32) if track_ov else None
     for k in range(1, len(coeffs_q)):
         c = cos_fn((k * n) & mask, pw, w)
         if wide_prod:
             m = limb.mul_shift30(jnp.int32(coeffs_q[k]), c, w - 2)
         else:
             m = (coeffs_q[k] * c) >> (w - 2)
-        acc = acc - m if k % 2 == 1 else acc + m
+        t = -m if k % 2 == 1 else m
+        res = acc + t
+        if track_ov:
+            # signed-overflow detect: sign(acc)==sign(t) != sign(res);
+            # direction is acc's sign (+1 wrap-up, -1 wrap-down)
+            of = (~(acc ^ t) & (acc ^ res)) >> 31
+            ov = ov + jnp.where(of != 0, (acc >> 31) | 1, 0)
+        acc = res
 
+    if track_ov:
+        imax = jnp.int32((1 << 31) - 1)
+        imin = jnp.int32(-(1 << 31))
+        return jnp.where(ov > 0, imax, jnp.where(ov < 0, imin, acc))
     if spec.overflow == "saturate" and w < 32:
         return jnp.clip(acc, -(1 << (w - 1)), (1 << (w - 1)) - 1)
     if w < 32:

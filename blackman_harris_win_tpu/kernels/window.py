@@ -244,6 +244,30 @@ def make_window(name: str, spec: WindowSpec, coeffs=None):
     return window_samples(n, coeffs_q, spec)
 
 
+def rtl_cordic_coeffs(coeffs_q) -> tuple[int, ...]:
+    """Corrected AA-port values for the RTL (VHDL) cores with the CORDIC
+    source: **AA0 halved** (round-half-up).
+
+    The VHDL product datapath (slice [2W-2:W-2] then round-half-up off
+    bit 0, src/hamming_win.vhd:195-208) is scaled for a *full-scale*
+    2^(W-1) cosine source — the TAYLOR generator (ROM entries
+    x(2^(W-1)-1), src/taylor_sincos.vhd:101-102).  The CORDIC source's
+    amplitude is 2^(W-2) (half: gain seed (1/K)/2, src/cordic_dds.vhd:97),
+    so with same-scale AA ports every harmonic term lands at a_k/2 against
+    a full a0 and the window grows a massive DC pedestal (measured: BH-7
+    W=32 floors at -39 dB; the reference's own testbench quantizes each
+    term count at a different ad-hoc scale and does not resolve the
+    convention, src/tb/tb_windows.vhd:64-127).  Because coefficients are
+    runtime ports, the correction is pure data: halving AA0 restores
+    cancellation and the published floors (BH-4 W=17 -> -95.5 dB, BH-7
+    W=32 -> -179.4, tests/test_window.py) at output scale
+    sum(q)/8 for 3+-term cores (one extra headroom bit vs the TAYLOR
+    source's sum(q)/4).
+    """
+    q = tuple(int(c) for c in coeffs_q)
+    return ((q[0] + 1) >> 1,) + q[1:]
+
+
 def win_function(sel: int, n, spec: WindowSpec):
     """HLS runtime selector semantics (hls/windows/win_function.cpp:380-422):
     selector code -> window; unknown code -> zeros (win_empty)."""

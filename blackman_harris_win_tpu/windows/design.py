@@ -179,21 +179,42 @@ def sampled_window(result: DesignResult, n: int) -> np.ndarray:
     return ph @ (a * (-1.0) ** k)
 
 
-def quantized_coeffs(result: DesignResult, data_width: int) -> tuple[int, ...]:
+def quantized_coeffs(result: DesignResult, data_width: int,
+                     shift: int | None = None) -> tuple[int, ...]:
     """Reference quantization of a designed set (``round(a*(2^(W-s)-1))``,
     catalog.WindowDef.quantized) — drop-in for ``window_samples``.
 
+    ``shift=None`` uses the catalog headroom rule (:meth:`suggest_shift`);
+    ``shift=1`` packs a unit-sum design to the full W-1 magnitude bits (one
+    extra bit ~ 6 dB of floor, README.md:5-6) — safe because of the trim
+    below.
+
     Per-coefficient rounding of a unit-sum designed set can push the window
-    peak to exactly ``2^(W-1)`` — one past Q0.(W-1) full scale (the peak is
-    ``sum(q)``: at n=N/2 every harmonic phase k*N/2 lands on a quadrant-exact
-    cos = +/-full-scale, so each product round-trips to q_k exactly).  The
-    excess is trimmed from a0 so the peak fits — the catalog's published
-    sets already carry this headroom; without the trim the faithful
-    ``overflow="wrap"`` path wraps the peak to negative full scale."""
+    peak past Q0.(W-1) full scale.  At n=N/2 every harmonic phase k*N/2
+    lands on a quadrant-exact CORDIC cos of magnitude **2^(W-2)+1** (the
+    flavor's one-LSB quadrant overshoot, e.g. hls cos(0) = 0x40000001); the
+    odd-k products are negative there and the arithmetic-shift truncation
+    (toward -inf) adds one more LSB each, so the exact datapath peak is
+
+        q0 + sum_k  ceil(q_k*(2^(W-2)+1) / 2^(W-2))   (k odd)
+                  + floor(q_k*(2^(W-2)+1) / 2^(W-2))  (k even)
+
+    The excess over full scale is trimmed from a0 so the peak fits — the
+    catalog's published sets already carry this headroom; without the trim
+    the faithful ``overflow="wrap"`` path wraps the peak to negative full
+    scale (``overflow="saturate"`` clamps it, at w=32 via the kernel's
+    overflow-count tracking)."""
     from ..core.fixedpoint import quantize_coeffs
 
-    q = list(quantize_coeffs(result.coeffs, data_width, result.suggest_shift()))
-    excess = sum(q) - (2 ** (data_width - 1) - 1)
+    q = list(quantize_coeffs(result.coeffs, data_width,
+                             shift or result.suggest_shift()))
+    w2 = data_width - 2
+    amp = (1 << w2) + 1
+    peak = q[0]
+    for k, c in enumerate(q[1:], start=1):
+        p = c * amp
+        peak += -((-p) >> w2) if k % 2 == 1 else (p >> w2)
+    excess = peak - (2 ** (data_width - 1) - 1)
     if excess > 0:
         q[0] -= excess
     return tuple(q)

@@ -136,6 +136,63 @@ class TestQuantizedHandoff:
             assert int(w[i]) == golden.win_cosine_sum_hls(i, q, 12, width)
         assert window_sidelobe_db(w.astype(float), n_terms=4) < -95.0
 
+    def test_designed_7term_full_depth_w32(self):
+        """VERDICT r3 item 8: the designed 7-term set (-253 dB LP optimum)
+        through the flagship bit-exact HLS contract at full W=32 depth with
+        shift-1 (31-magnitude-bit) packing.  Measured floor: -181.5 dB —
+        past the catalog BH-7's -180.06 through the same datapath, and past
+        the reference's -180 headline.  The 6 dB/bit coefficient bound
+        (-186) is NOT reached: the W=32 CORDIC's few-LSB approximation
+        error (mean < 10 LSB acceptance, SURVEY §4.1) sits at ~2^-30
+        relative and sets a ~-181 dB datapath noise floor — coefficient
+        quantization stopped being the binding limit at shift 2 already."""
+        import jax.numpy as jnp
+
+        from blackman_harris_win_tpu.core.config import WindowSpec
+        from blackman_harris_win_tpu.kernels.window import window_samples
+        from blackman_harris_win_tpu.utils.spectral import window_sidelobe_db
+
+        r = design_min_sidelobe(7)
+        q1 = quantized_coeffs(r, 32, shift=1)
+        # shift-1 packs one extra magnitude bit vs the catalog rule
+        assert max(q1) > (1 << 29)
+        pw = 13
+        w = {}
+        for ov in ("wrap", "saturate"):
+            spec = WindowSpec(pw, 32, rounding="hls", overflow=ov)
+            w[ov] = np.asarray(window_samples(
+                jnp.arange(1 << pw, dtype=jnp.int32), q1, spec
+            )).astype(np.float64)
+        # the exact-peak a0 trim makes wrap safe: peak is exactly full scale
+        # and the saturate variant is identical
+        assert w["wrap"].max() == float((1 << 31) - 1)
+        np.testing.assert_array_equal(w["wrap"], w["saturate"])
+        fl = window_sidelobe_db(w["wrap"], n_terms=7)
+        assert fl <= -181.0  # measured -181.54
+        assert fl > -186.0  # CORDIC-noise-limited below the 6 dB/bit bound
+
+    def test_designed_7term_rtl_corrected_w32(self):
+        """The same designed set through the RTL (VHDL) rounding contract
+        with the corrected CORDIC-source ports (AA0 halved,
+        kernels/window.rtl_cordic_coeffs): floor -179.8 — the RTL b_k
+        W-bit product round costs ~2 dB vs the HLS path."""
+        import jax.numpy as jnp
+
+        from blackman_harris_win_tpu.core.config import WindowSpec
+        from blackman_harris_win_tpu.kernels.window import (
+            rtl_cordic_coeffs,
+            window_samples,
+        )
+        from blackman_harris_win_tpu.utils.spectral import window_sidelobe_db
+
+        r = design_min_sidelobe(7)
+        qr = rtl_cordic_coeffs(quantized_coeffs(r, 32, shift=1))
+        spec = WindowSpec(13, 32, rounding="rtl", overflow="wrap")
+        w = np.asarray(window_samples(
+            jnp.arange(1 << 13, dtype=jnp.int32), qr, spec
+        )).astype(np.float64)
+        assert window_sidelobe_db(w, n_terms=7) <= -179.0  # measured -179.77
+
     def test_suggest_shift_follows_catalog_pattern(self):
         """Catalog rule (hls win_function.cpp:176,349): shift 1 for 2..4-term
         (hamming's a0=0.5435 included), 2 for 5+-term."""

@@ -185,3 +185,109 @@ class TestWinFunctionSelector:
         full = np.asarray(kw.make_window("bh4", spec))
         blk = np.asarray(kw.window_block(1000, 256, q, spec))
         np.testing.assert_array_equal(blk, full[1000:1256])
+
+
+class TestRtlCordicGainQuirk:
+    """The RTL (VHDL) datapath's product rounding is scaled for a
+    full-scale 2^(W-1) cosine source (the TAYLOR ROM); the CORDIC source is
+    half-scale (2^(W-2)), so same-scale AA ports halve every harmonic term
+    against a full A0 and the window grows a ~0.21x-of-peak DC pedestal
+    (PARITY.md "Known reference quirks").  ``kernels/window.
+    rtl_cordic_coeffs`` is the pure-data correction: AA0 halved."""
+
+    def test_raw_ports_pedestal_pinned(self):
+        import jax.numpy as jnp
+
+        from blackman_harris_win_tpu.utils.spectral import window_sidelobe_db
+
+        q = catalog.get("bh7").quantized(24)
+        spec = WindowSpec(12, 24, rounding="rtl", overflow="wrap")
+        w = np.asarray(kw.window_samples(
+            jnp.arange(1 << 12, dtype=jnp.int32), q, spec
+        )).astype(np.float64)
+        ratio = w[0] / w.max()
+        assert 0.18 < ratio < 0.25  # measured 0.2134 = a0(1-g)/(a0+g*rest)
+        assert window_sidelobe_db(w, n_terms=7) > -45.0  # measured -39.2
+
+    @pytest.mark.parametrize("name,w_,pw,bound", [
+        ("bh4", 17, 12, -92.0),   # measured -95.0 (published -92)
+        ("bh7", 32, 13, -176.0),  # measured -178.7
+    ])
+    def test_corrected_ports_restore_floor(self, name, w_, pw, bound):
+        import jax.numpy as jnp
+
+        from blackman_harris_win_tpu.utils.spectral import window_sidelobe_db
+
+        qr = kw.rtl_cordic_coeffs(catalog.get(name).quantized(w_))
+        spec = WindowSpec(pw, w_, rounding="rtl", overflow="wrap")
+        w = np.asarray(kw.window_samples(
+            jnp.arange(1 << pw, dtype=jnp.int32), qr, spec
+        )).astype(np.float64)
+        assert window_sidelobe_db(w, n_terms=catalog.get(name).n_terms) \
+            <= bound
+
+    def test_helper_rounds_half_up(self):
+        assert kw.rtl_cordic_coeffs((5, 3, 1)) == (3, 3, 1)
+        assert kw.rtl_cordic_coeffs((4, 3, 1)) == (2, 3, 1)
+
+
+class TestW32SaturateTracking:
+    """w=32 ``overflow="saturate"`` on int32 lanes needs wrap *tracking*
+    (the accumulator IS the W-bit register); the kernel carries a signed
+    overflow counter and clamps where the exact accumulator left the
+    range (kernels/pallas/window_kernel.py:window_values)."""
+
+    def _exact(self, n, q, pw, clip):
+        acc = q[0]
+        for k in range(1, len(q)):
+            c, _ = golden.cordic_hls((k * n) % (1 << pw), pw, 32)
+            m = (q[k] * c) >> 30
+            acc = acc - m if k % 2 == 1 else acc + m
+        if clip:
+            return max(-(1 << 31), min((1 << 31) - 1, acc))
+        return ((acc + (1 << 31)) % (1 << 32)) - (1 << 31)
+
+    def test_overflowing_set_clamps_exactly(self):
+        import jax.numpy as jnp
+
+        from blackman_harris_win_tpu.kernels.pallas.window_kernel import (
+            window_values,
+        )
+
+        pw = 12
+        # a deliberately overflowing 31-bit-packed set: peak ~10 over range
+        q = (576778032, 925936728, 472185493, 145944170, 24743018,
+             1860917, 35296)
+        n = np.array([0, 1, 1023, 1024, 2047, 2048, 2049, 3072, 4095],
+                     np.int64)
+        sat = WindowSpec(pw, 32, rounding="hls", overflow="saturate")
+        wrap = WindowSpec(pw, 32, rounding="hls", overflow="wrap")
+        got_s = np.asarray(window_values(
+            jnp.asarray(n, jnp.int32), q, sat)).astype(np.int64)
+        got_w = np.asarray(window_values(
+            jnp.asarray(n, jnp.int32), q, wrap)).astype(np.int64)
+        for i, ni in enumerate(n):
+            assert got_s[i] == self._exact(int(ni), q, pw, clip=True), ni
+            assert got_w[i] == self._exact(int(ni), q, pw, clip=False), ni
+        # the peak actually overflowed: wrap and saturate disagree there
+        ipk = list(n).index(2048)
+        assert got_w[ipk] < 0 < got_s[ipk] == (1 << 31) - 1
+
+    def test_non_overflowing_set_unchanged(self):
+        """Tracking must not perturb in-range results: saturate == wrap on
+        the catalog bh7 (shift-2 headroom) across quadrant seams."""
+        import jax.numpy as jnp
+
+        from blackman_harris_win_tpu.kernels.pallas.window_kernel import (
+            window_values,
+        )
+
+        pw = 12
+        q = catalog.get("bh7").quantized(32)
+        n = jnp.asarray([0, 1, 1023, 1024, 2048, 3071, 3072, 4095],
+                        jnp.int32)
+        a = np.asarray(window_values(
+            n, q, WindowSpec(pw, 32, rounding="hls", overflow="saturate")))
+        b = np.asarray(window_values(
+            n, q, WindowSpec(pw, 32, rounding="hls", overflow="wrap")))
+        np.testing.assert_array_equal(a, b)
