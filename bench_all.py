@@ -33,17 +33,46 @@ Configs covered (BASELINE.json):
  12. BH-7 N=64M native float32 generation (kernels/floatwin.py — the
      TPU-only capability for float consumers; ~ -163 dB floor, jnp harness)
  13. Same, with the Pallas in-kernel f32 reduction (no harness wall)
+ 14. BH-7 N=64M compensated-f32 generation (kernels/compwin.py — the FULL
+     -180 dB contract for float consumers via (hi, lo) pairs; jnp harness)
+ 15. Same, with the Pallas in-kernel reduction (whole compensated pipeline
+     incl. the TwoSum fold inside the kernel)
+ 16. taylor_sincos raw engine W=16 / LUT=10 (tay1 DSP48-MACC regime,
+     src/taylor_sincos.vhd:169-221) — 64M phases, bit-exact vs the native
+     oracle
+ 17. taylor_sincos raw engine W=32 / LUT=12 (the W>=19 wide-multiplier
+     regime, src/tay1_order.vhd:506-599)
+ 18. TAYLOR-source 3-term window (blackman) @ W=32, 64M points — the
+     reference's designated fast path feeding a window core
+     (src/bh_win_3term.vhd:221-233 frequency-doubling instantiation)
+ 19. cordic_atan2 raw vectoring engine @ W=20 — 64M (y, x) pairs, the last
+     of the four rotation/vectoring engines (src/cordic_atan2.vhd:146-219)
+ 20. atan2_fixed @ W=24 (standard-convention variant, same datapath)
+
+Every line carries ``regime_ref``: the throughput (Msamp/s) of ONE fixed
+reference kernel (the config-11 int in-kernel-reduce checksum) measured
+FIRST in this process.  The chip shows process-level slow/fast regimes
+(whole sweeps scale ~0.7-1.0x between processes, BENCH_NOTES.md): dividing
+any line by its regime_ref (vs the regime_ref of another sweep) makes
+cross-process comparisons self-interpreting.
 """
 
 import json
 
 import numpy as np
 
+_REGIME = {}
+
 
 def _sync_time(fn, reps=3):
     from blackman_harris_win_tpu.utils.profiling import host_synced_seconds
 
     return host_synced_seconds(fn, reps=reps)
+
+
+def _emit(out):
+    out[-1].update(_REGIME)
+    print(json.dumps(out[-1]), flush=True)
 
 
 def main():
@@ -63,6 +92,37 @@ def main():
 
     out = []
 
+    # --- regime self-calibration (VERDICT r3 item 6): one fixed reference
+    #     kernel, timed FIRST — the config-11 int in-kernel-reduce checksum
+    #     (in-process spread < 0.2%, BENCH_NOTES.md round-3 probes).  Every
+    #     subsequent line carries this as "regime_ref". ---
+    from blackman_harris_win_tpu.kernels.pallas.outerwin_kernel import (
+        make_checksum_fn,
+    )
+
+    pw6 = 26
+    spec6 = WindowSpec(pw6, 32, overflow="wrap")
+    q6 = catalog.get("bh7").quantized(32)
+    m6 = 11
+    fn11 = make_checksum_fn(q6, spec6, m=m6, rows=256)
+    reps_ref = 8
+
+    @jax.jit
+    def gen_regime(seed):
+        def body(acc, i):
+            return acc + fn11(i), None
+        s_, _ = jax.lax.scan(body, seed, jnp.arange(reps_ref, dtype=jnp.int32))
+        return s_
+
+    t = _sync_time(lambda: gen_regime(jnp.int32(0)))
+    ref_msps = reps_ref * (1 << pw6) / t / 1e6
+    _REGIME["regime_ref"] = round(ref_msps, 1)
+    out.append({"metric": "regime_ref_int_inkernel_reduce",
+                "value": round(ref_msps, 1), "unit": "Msamples/s",
+                "note": "fixed calibration kernel; divide any line by this "
+                        "to compare across process regimes"})
+    _emit(out)
+
     # --- config 1: Hamming 4096 @17b, RMS vs float golden ---
     spec1 = WindowSpec(12, 17, overflow="saturate")
     win = np.asarray(make_window("hamming", spec1), np.float64)
@@ -70,7 +130,7 @@ def main():
     rms = float(np.sqrt(np.sum((win - gold) ** 2)) / 4096)
     out.append({"metric": "hamming_4096_w17_rms_vs_float", "value": round(rms, 4),
                 "unit": "LSB", "pass": rms < 10})
-    print(json.dumps(out[-1]), flush=True)
+    _emit(out)
 
     # --- config 2: BH-4 @ W=17 gen (1M-window config, 64 windows per
     #     dispatch to amortize the ~32 ms tunnel round-trip) ---
@@ -93,7 +153,7 @@ def main():
                 "unit": "Msamples/s", "vs_fpga_400": round(v2 / 400, 2),
                 **roofline_fields(
                     t, int_ops=cordic_window_int_ops(REP2 * L2, 4, 17, False))})
-    print(json.dumps(out[-1]), flush=True)
+    _emit(out)
 
     # --- config 3 is bench.py's headline (64M BH-7) ---
 
@@ -122,7 +182,7 @@ def main():
     out.append({"metric": "welch_bh4_1Mfft", "value": round(T / t / 1e6, 1),
                 "unit": "Msamples/s_in",
                 **roofline_fields(t, bytes_moved=52 * T)})
-    print(json.dumps(out[-1]), flush=True)
+    _emit(out)
 
     # --- config 5: SDR chain throughput (16-ch channelizer + discriminator) ---
     from blackman_harris_win_tpu.pipeline.channelizer import design_prototype
@@ -145,15 +205,12 @@ def main():
     t = _sync_time(lambda: chain(xs))
     out.append({"metric": "sdr_chain_16ch", "value": round(Ts / t / 1e6, 1),
                 "unit": "Msamples/s_in"})
-    print(json.dumps(out[-1]), flush=True)
+    _emit(out)
 
     # --- config 6: BH-7 64M @ W=32 fast mode (outer-product generator) ---
+    #     (pw6/spec6/q6/m6 defined with the regime-calibration kernel above)
     from blackman_harris_win_tpu.kernels.outerwin import window_block_outer
 
-    pw6 = 26
-    spec6 = WindowSpec(pw6, 32, overflow="wrap")
-    q6 = catalog.get("bh7").quantized(32)
-    m6 = 11
     rows6 = 1 << 12          # block = rows * 2^m6 = 8M samples (+18% vs 4M,
     #                          bench_fastmode_probe.py variant D)
     blk6 = rows6 << m6
@@ -175,7 +232,7 @@ def main():
                 "unit": "Msamples/s", "vs_fpga_400": round(v6 / 400, 2),
                 **roofline_fields(
                     t, int_ops=outer_window_int_ops(reps6 * (1 << pw6), 7))})
-    print(json.dumps(out[-1]), flush=True)
+    _emit(out)
 
     # --- config 7: fused gen+FFT — 64M-pt windowed power spectrum, one
     #     dispatch: on-the-fly window gen * on-device signal -> rfft ---
@@ -198,7 +255,7 @@ def main():
     out.append({"metric": "fused_gen_fft_64M", "value": round(n7 / t / 1e6, 1),
                 "unit": "Msamples/s_in",
                 **roofline_fields(t, bytes_moved=28 * n7)})
-    print(json.dumps(out[-1]), flush=True)
+    _emit(out)
 
     # --- config 8: BH-7 64M @ W=32, RTL (VHDL) rounding contract ---
     from blackman_harris_win_tpu.model import native
@@ -234,7 +291,7 @@ def main():
                 **roofline_fields(
                     t, int_ops=cordic_window_int_ops(
                         reps8 * (1 << pw6), 7, 32, True))})
-    print(json.dumps(out[-1]), flush=True)
+    _emit(out)
 
     # --- configs 9/10: the dds48 (max-precision) and scaled (area-
     #     compromise) rotation engines, single-harmonic sin/cos at 64M ---
@@ -283,14 +340,10 @@ def main():
                     "unit": "Msamples/s", "vs_fpga_400": round(v / 400, 2),
                     "internal_width": size,
                     **roofline_fields(t, int_ops=ops)})
-        print(json.dumps(out[-1]), flush=True)
+        _emit(out)
 
-    # --- config 11: fast mode WITHOUT the harness wall (in-kernel reduce) ---
-    from blackman_harris_win_tpu.kernels.pallas.outerwin_kernel import (
-        make_checksum_fn,
-    )
-
-    fn11 = make_checksum_fn(q6, spec6, m=m6, rows=256)
+    # --- config 11: fast mode WITHOUT the harness wall (in-kernel reduce;
+    #     fn11 is the already-compiled regime-calibration kernel) ---
     # golden gate: pallas in-kernel checksum == the jnp scan checksum
     @jax.jit
     def jnp_checksum():
@@ -321,7 +374,7 @@ def main():
                 "accounting": "window never in HBM; one int32/grid-step",
                 **roofline_fields(
                     t, int_ops=outer_window_int_ops(reps11 * (1 << pw6), 7))})
-    print(json.dumps(out[-1]), flush=True)
+    _emit(out)
 
     # --- configs 12/13: native float32 window generation (the TPU-only
     #     capability for float consumers, kernels/floatwin.py): jnp scan
@@ -363,11 +416,28 @@ def main():
                 "unit": "Msamples/s", "vs_fpga_400": round(v12 / 400, 2),
                 **roofline_fields(
                     t, int_ops=float_window_flops(reps12 * (1 << pw6), 7))})
-    print(json.dumps(out[-1]), flush=True)
+    _emit(out)
 
     # rows=512 fits the f32 kernel's VMEM (fewer temporaries than the int
     # limb path, which OOMs there) and gains ~5% over 256; 1024 OOMs.
     fn13 = make_checksum_fn_f32("bh7", pw6, m=m6, rows=512)
+
+    # in-bench correctness gate (ADVICE r3): the compiled kernel's one-
+    # period sum vs the jnp scan sum (f32 accumulation order differs ->
+    # relative tolerance)
+    @jax.jit
+    def jnp_f32_checksum():
+        def body(acc, i):
+            wv = float_window_block(i * blk12, rows12, "bh7", pw6, m=m6)
+            return acc + jnp.sum(wv), None
+        s_, _ = jax.lax.scan(body, jnp.float32(0),
+                             jnp.arange(nb12, dtype=jnp.int32))
+        return s_
+
+    got13 = float(jax.jit(fn13)(jnp.int32(0)))
+    want13 = float(jnp_f32_checksum())
+    assert abs(got13 - want13) < 1e-3 * max(1.0, abs(want13)), \
+        f"f32 pallas checksum gate: {got13} vs {want13}"
 
     @jax.jit
     def gen_f32_pl(seed):
@@ -384,7 +454,226 @@ def main():
                 "accounting": "window never in HBM; one f32/grid-step",
                 **roofline_fields(
                     t, int_ops=float_window_flops(reps12 * (1 << pw6), 7))})
-    print(json.dumps(out[-1]), flush=True)
+    _emit(out)
+
+    # --- configs 14/15: compensated-f32 generation (kernels/compwin.py) —
+    #     the FULL -180 dB BH-7 contract in the float regime via (hi, lo)
+    #     pairs; jnp harness + the Pallas in-kernel reduction ---
+    from blackman_harris_win_tpu.kernels.compwin import (
+        comp_window_block,
+        comp_window_flops,
+    )
+    from blackman_harris_win_tpu.kernels.pallas.outerwin_kernel import (
+        make_checksum_fn_comp,
+    )
+
+    # golden gate: a 2048-sample pair block vs the f64 catalog golden
+    hi_g, lo_g = jax.jit(lambda: comp_window_block(
+        jnp.int32(1 << 25), 1, "bh7", pw6))()
+    pair = np.asarray(hi_g, np.float64) + np.asarray(lo_g, np.float64)
+    assert np.max(np.abs(pair - want_f)) < 5e-9, "comp golden gate"
+
+    @jax.jit
+    def gen_comp(seed):
+        def body(acc, i):
+            hi, lo = comp_window_block(
+                (i & (nb12 - 1)) * blk12, rows12, "bh7", pw6, m=m6)
+            return acc + jnp.sum(hi) + jnp.sum(lo), None
+        s_, _ = jax.lax.scan(
+            body, seed, jnp.arange(reps12 * nb12, dtype=jnp.int32))
+        return s_
+
+    flops14 = comp_window_flops(reps12 * (1 << pw6), "bh7")
+    t = _sync_time(lambda: gen_comp(jnp.float32(0)))
+    v14 = reps12 * (1 << pw6) / t / 1e6
+    out.append({"metric": "bh7_64M_gen_compf32_fastmode", "value": round(v14, 1),
+                "unit": "Msamples/s", "vs_fpga_400": round(v14 / 400, 2),
+                "floor_db": -180.4,
+                **roofline_fields(t, int_ops=flops14)})
+    _emit(out)
+
+    fn15 = make_checksum_fn_comp("bh7", pw6, m=m6, rows=256)
+
+    @jax.jit
+    def jnp_comp_checksum():
+        def body(acc, i):
+            hi, lo = comp_window_block(i * blk12, rows12, "bh7", pw6, m=m6)
+            return acc + jnp.sum(hi) + jnp.sum(lo), None
+        s_, _ = jax.lax.scan(body, jnp.float32(0),
+                             jnp.arange(nb12, dtype=jnp.int32))
+        return s_
+
+    got15 = float(jax.jit(fn15)(jnp.int32(0)))
+    want15 = float(jnp_comp_checksum())
+    assert abs(got15 - want15) < 1e-3 * max(1.0, abs(want15)), \
+        f"comp pallas checksum gate: {got15} vs {want15}"
+
+    @jax.jit
+    def gen_comp_pl(seed):
+        def body(acc, i):
+            return acc + fn15(i), None
+        s_, _ = jax.lax.scan(body, seed, jnp.arange(reps12, dtype=jnp.int32))
+        return s_
+
+    t = _sync_time(lambda: gen_comp_pl(jnp.float32(0)))
+    v15 = reps12 * (1 << pw6) / t / 1e6
+    out.append({"metric": "bh7_64M_gen_compf32_inkernel_reduce",
+                "value": round(v15, 1), "unit": "Msamples/s",
+                "vs_fpga_400": round(v15 / 400, 2),
+                "accounting": "window never in HBM; one f32/grid-step",
+                **roofline_fields(t, int_ops=flops14)})
+    _emit(out)
+
+    # --- configs 16/17: taylor_sincos raw engine — the reference's
+    #     designated fast path (src/taylor_sincos.vhd:25-29: 5-11 taps vs
+    #     CORDIC's W+2).  VMEM ROM + XLA gather + tay1 MACC lanes. ---
+    from blackman_harris_win_tpu.kernels.taylor import taylor_sincos
+
+    blk16 = 1 << 22
+    nb16 = (1 << pw6) // blk16
+    reps16 = 2
+    for metric, w_t, ls_t, opsps in (
+        ("taylor_sincos_w16_lut10_64M", 16, 10, 14),
+        ("taylor_sincos_w32_lut12_64M", 32, 12, 24),
+    ):
+        # gate: a quadrant-seam block vs the native oracle
+        seam = (1 << pw6) // 4 - 1024 + np.arange(2048, dtype=np.int64)
+        cj, sj = jax.jit(lambda s=seam, w=w_t, ls=ls_t: taylor_sincos(
+            jnp.asarray(s, jnp.int32), pw6, w, ls))()
+        cn, sn = native.taylor_sincos(seam, pw6, w_t, ls_t)
+        assert (np.asarray(cj).astype(np.int64) == cn).all(), metric
+        assert (np.asarray(sj).astype(np.int64) == sn).all(), metric
+
+        @jax.jit
+        def gen_tay(seed, w=w_t, ls=ls_t):
+            def body(acc, i):
+                n = (i & (nb16 - 1)) * blk16 + jnp.arange(blk16, dtype=jnp.int32)
+                c, s = taylor_sincos(n, pw6, w, ls)
+                return acc + jnp.sum(c) + jnp.sum(s), None
+            s_, _ = jax.lax.scan(
+                body, seed, jnp.arange(reps16 * nb16, dtype=jnp.int32))
+            return s_
+
+        t = _sync_time(lambda: gen_tay(jnp.int32(0)))
+        v = reps16 * (1 << pw6) / t / 1e6
+        # rough op model: ROM gather + quadrant folds + 2 MACC lanes
+        # (per-output multiply-add, tay1_order.vhd:180-599); the gather's
+        # true cost is what this config measures.
+        out.append({"metric": metric, "value": round(v, 1),
+                    "unit": "Msamples/s", "vs_fpga_400": round(v / 400, 2),
+                    **roofline_fields(
+                        t, int_ops=reps16 * (1 << pw6) * opsps)})
+        _emit(out)
+
+    # --- config 18: TAYLOR-source 3-term window @ W=32, 64M points ---
+    q18 = catalog.get("blackman").quantized(32)
+    spec18 = WindowSpec(pw6, 32, sin_type="taylor", lut_size=12,
+                        rounding="hls", overflow="wrap")
+    from blackman_harris_win_tpu.kernels.window import window_samples
+
+    # gate: replicate the HLS w=32 TAYLOR accumulation with the native
+    # taylor oracle (full-scale cos, product >> 31, int32 wrap)
+    seam = (1 << pw6) // 2 - 128 + np.arange(256, dtype=np.int64)
+    wj = np.asarray(jax.jit(lambda: window_samples(
+        jnp.asarray(seam, jnp.int32), q18, spec18))()).astype(np.int64)
+    acc = np.full(seam.shape, q18[0], np.int64)
+    for k in (1, 2):
+        pwk = pw6 - (k - 1)
+        cn, _ = native.taylor_sincos(seam & ((1 << pwk) - 1), pwk, 32, 12)
+        m = (q18[k] * cn) >> 31
+        acc = acc - m if k % 2 == 1 else acc + m
+    want18 = ((acc + (1 << 31)) % (1 << 32)) - (1 << 31)
+    assert (wj == want18).all(), "taylor window gate"
+
+    @jax.jit
+    def gen_taywin(seed):
+        def body(acc_, i):
+            n = (i & (nb16 - 1)) * blk16 + jnp.arange(blk16, dtype=jnp.int32)
+            return acc_ + jnp.sum(window_samples(n, q18, spec18)), None
+        s_, _ = jax.lax.scan(
+            body, seed, jnp.arange(reps16 * nb16, dtype=jnp.int32))
+        return s_
+
+    t = _sync_time(lambda: gen_taywin(jnp.int32(0)))
+    v18 = reps16 * (1 << pw6) / t / 1e6
+    out.append({"metric": "blackman_w32_64M_gen_taylor_source",
+                "value": round(v18, 1), "unit": "Msamples/s",
+                "vs_fpga_400": round(v18 / 400, 2),
+                **roofline_fields(
+                    t, int_ops=reps16 * (1 << pw6) * (2 * 24 + 8))})
+    _emit(out)
+
+    # --- configs 19/20: the vectoring-mode engine (cordic_atan2) and the
+    #     corrected-convention atan2_fixed — 64M (y, x) pairs.  Inputs are
+    #     synthesized in-register (multiplicative-hash ints: 2 ops) so the
+    #     measurement is the engine, not HBM. ---
+    from blackman_harris_win_tpu.kernels.cordic import atan2_fixed, cordic_atan2
+
+    def _wrap32(v):
+        v = v & 0xFFFFFFFF
+        return np.where(v >= (1 << 31), v - (1 << 32), v)
+
+    def _hash_np(n, k, add, sw):
+        """Host replica of hash_pair's int32 lane math (int64 carrier)."""
+        v = _wrap32(n * k + add)
+        return _wrap32(v << sw) >> sw
+
+    for metric, fn_a, iw_a, aw_a in (
+        ("cordic_atan2_w20_64M", cordic_atan2, 20, 20),
+        ("atan2_fixed_w24_64M", atan2_fixed, 24, 24),
+    ):
+        shift_in = 32 - iw_a
+
+        def hash_pair(n, sw=shift_in):
+            y = ((n * jnp.int32(-1640531527)) << sw) >> sw  # Knuth hash
+            x = ((n * jnp.int32(-2048144789) + jnp.int32(7)) << sw) >> sw
+            return y, x
+
+        # gate vs the native oracle (reference convention) / the float
+        # angle (corrected convention) on a deterministic block
+        nb_blk = np.arange(2048, dtype=np.int64)
+        yh = _hash_np(nb_blk, -1640531527, 0, shift_in)
+        xh = _hash_np(nb_blk, -2048144789, 7, shift_in)
+        aj = np.asarray(jax.jit(lambda f=fn_a, iw=iw_a, aw=aw_a: f(
+            jnp.asarray(yh, jnp.int32), jnp.asarray(xh, jnp.int32),
+            iw, aw))()).astype(np.int64)
+        if fn_a is cordic_atan2:
+            an = native.cordic_atan2(yh, xh, iw_a, aw_a)
+            assert (aj == an).all(), metric
+        else:
+            # float-angle acceptance on in-contract radii: >= 2^(iw-4)
+            # (smaller is input-quantization-limited) and <= 2^(iw-1) (the
+            # K*r gain growth must fit the aw+1-bit state — the reference
+            # feeds quadrature pairs within full scale)
+            r2 = yh.astype(np.float64) ** 2 + xh.astype(np.float64) ** 2
+            sel = (r2 >= float(1 << (2 * (iw_a - 4)))) & \
+                  (r2 <= float(1 << (2 * (iw_a - 1))))
+            ideal = np.round(
+                np.arctan2(yh[sel].astype(np.float64),
+                           xh[sel].astype(np.float64))
+                * (1 << (aw_a - 1)) / np.pi)
+            derr = np.abs(aj[sel] - ideal)
+            derr = np.minimum(derr, (1 << aw_a) - derr)  # angle wrap
+            assert derr.mean() < 8, metric
+
+        @jax.jit
+        def gen_atan(seed, f=fn_a, iw=iw_a, aw=aw_a):
+            def body(acc_, i):
+                n = i * blk16 + jnp.arange(blk16, dtype=jnp.int32)
+                y, x = hash_pair(n)
+                return acc_ + jnp.sum(f(y, x, iw, aw)), None
+            s_, _ = jax.lax.scan(
+                body, seed, jnp.arange(reps16 * nb16, dtype=jnp.int32))
+            return s_
+
+        t = _sync_time(lambda: gen_atan(jnp.int32(0)))
+        v = reps16 * (1 << pw6) / t / 1e6
+        # op model: aw-1 vectoring iterations x ~8 single-limb ops
+        out.append({"metric": metric, "value": round(v, 1),
+                    "unit": "Mpairs/s", "vs_fpga_400": round(v / 400, 2),
+                    **roofline_fields(
+                        t, int_ops=reps16 * (1 << pw6) * (aw_a - 1) * 8)})
+        _emit(out)
 
 
 if __name__ == "__main__":
