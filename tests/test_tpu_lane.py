@@ -98,3 +98,138 @@ def test_wide_cordic_flavors_on_chip(tpu, flavor, w):
     }[flavor]
     for j in range(0, len(ph), 7):
         assert (int(c[j]), int(s[j])) == gfn(int(ph[j]), pw, w), int(ph[j])
+
+
+def test_int_inkernel_reduce_checksum_on_chip(tpu):
+    """The config-11/regime-ref kernel (generate + reduce in one Pallas
+    kernel, window never in HBM): compiled checksum == the jnp scan
+    checksum bit-for-bit (int32 wrap addition is associative)."""
+    import jax
+    import jax.numpy as jnp
+
+    from blackman_harris_win_tpu.core.config import WindowSpec
+    from blackman_harris_win_tpu.kernels.outerwin import window_block_outer
+    from blackman_harris_win_tpu.kernels.pallas.outerwin_kernel import (
+        make_checksum_fn,
+    )
+    from blackman_harris_win_tpu.windows import catalog
+
+    pw, m, rows = 18, 11, 16
+    spec = WindowSpec(pw, 32, overflow="wrap")
+    q = catalog.get("bh7").quantized(32)
+    fn = make_checksum_fn(q, spec, m=m, rows=rows)
+    got = int(jax.jit(fn)(jnp.int32(3)))
+
+    nb = (1 << pw) // (rows << m)
+
+    @jax.jit
+    def jnp_sum():
+        def body(acc, i):
+            wv = window_block_outer(i * (rows << m), rows, q, spec, m=m)
+            return acc + jnp.sum(wv), None
+        s_, _ = jax.lax.scan(body, jnp.int32(3),
+                             jnp.arange(nb, dtype=jnp.int32))
+        return s_
+
+    assert got == int(jnp_sum())
+
+
+def test_f32_inkernel_reduce_rows512_on_chip(tpu):
+    """The rows=512 f32 tile shape (config 13) compiles and its compiled
+    checksum matches the jnp harness to f32 accumulation-order tolerance."""
+    import jax
+    import jax.numpy as jnp
+
+    from blackman_harris_win_tpu.kernels.floatwin import float_window
+    from blackman_harris_win_tpu.kernels.pallas.outerwin_kernel import (
+        make_checksum_fn_f32,
+    )
+
+    pw, m = 20, 11  # nh = 512 -> ONE rows=512 grid step
+    fn = make_checksum_fn_f32("bh7", pw, m=m, rows=512)
+    got = float(jax.jit(fn)(jnp.int32(0)))
+    want = float(jax.jit(lambda: jnp.sum(float_window("bh7", pw, m=m)))())
+    assert abs(got - want) < 1e-3 * max(1.0, abs(want)), (got, want)
+
+
+def test_comp_pair_accuracy_on_chip(tpu):
+    """Compensated-f32 on the REAL chip: the error-free-grid argument
+    assumes IEEE f32 multiply/add — this pins it on hardware.  A compiled
+    pair block spanning the quadrant seam must match the f64 golden to
+    pair accuracy (< 5e-9; plain f32 would read ~1e-7)."""
+    import jax
+    import jax.numpy as jnp
+
+    from blackman_harris_win_tpu.kernels.compwin import comp_window_block
+    from blackman_harris_win_tpu.windows.catalog import float_window_value
+
+    pw, m = 20, 11
+    n0 = (1 << (pw - 2)) - (1 << m)  # block spans the N/4 seam
+    fn = jax.jit(lambda: comp_window_block(jnp.int32(n0), 2, "bh7", pw, m=m))
+    hi, lo = fn()
+    pair = np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+    idx = n0 + np.arange(2 << m)
+    gold = float_window_value("bh7", idx, 1 << pw)
+    assert np.max(np.abs(pair - gold)) < 5e-9
+    # TwoSum postcondition holds on chip: hi == f32(hi + lo)
+    refold = (np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+              ).astype(np.float32)
+    np.testing.assert_array_equal(refold, np.asarray(hi))
+
+
+def test_comp_inkernel_reduce_on_chip(tpu):
+    """The compensated in-kernel-reduce kernel (config 15) compiled on
+    chip: checksum matches the jnp pair-sum harness."""
+    import jax
+    import jax.numpy as jnp
+
+    from blackman_harris_win_tpu.kernels.compwin import comp_window
+    from blackman_harris_win_tpu.kernels.pallas.outerwin_kernel import (
+        make_checksum_fn_comp,
+    )
+
+    pw, m = 18, 11
+    fn = make_checksum_fn_comp("bh7", pw, m=m, rows=32)
+    got = float(jax.jit(fn)(jnp.int32(0)))
+
+    @jax.jit
+    def jnp_sum():
+        hi, lo = comp_window("bh7", pw, m=m, pair=True)
+        return jnp.sum(hi) + jnp.sum(lo)
+
+    want = float(jnp_sum())
+    assert abs(got - want) < 1e-3 * max(1.0, abs(want)), (got, want)
+
+
+def test_w32_saturate_tracking_on_chip(tpu):
+    """The w=32 overflow-count saturate path (round 4) on the chip's int32
+    lanes: an overflowing 31-bit-packed set clamps exactly where the exact
+    accumulator leaves the range."""
+    import jax
+    import jax.numpy as jnp
+
+    from blackman_harris_win_tpu.core.config import WindowSpec
+    from blackman_harris_win_tpu.kernels.pallas.window_kernel import (
+        window_values,
+    )
+    from blackman_harris_win_tpu.model import golden
+
+    pw = 12
+    q = (576778032, 925936728, 472185493, 145944170, 24743018,
+         1860917, 35296)
+    n = np.array([0, 1024, 2047, 2048, 2049, 4095], np.int64)
+    sat = WindowSpec(pw, 32, rounding="hls", overflow="saturate")
+    fn = jax.jit(lambda nn: window_values(nn, q, sat))
+    got = np.asarray(fn(jnp.asarray(n, jnp.int32))).astype(np.int64)
+
+    def exact(ni):
+        acc = q[0]
+        for k in range(1, len(q)):
+            c, _ = golden.cordic_hls((k * ni) % (1 << pw), pw, 32)
+            m = (q[k] * c) >> 30
+            acc = acc - m if k % 2 == 1 else acc + m
+        return max(-(1 << 31), min((1 << 31) - 1, acc))
+
+    for i, ni in enumerate(n):
+        assert int(got[i]) == exact(int(ni)), ni
+    assert int(got[3]) == (1 << 31) - 1  # the clamped peak
