@@ -239,14 +239,20 @@ def make_checksum_fn_comp(name_or_coeffs, pw: int, m: int = 11,
 def _reduce_kernel_f32(bias_ref, ch_ref, sh_ref, cl_ref, sl_ref, out_ref, *,
                        a0):
     """f32 tile generate + reduce: acc = a0 + sum_k (ch*cl - sh*sl), one
-    f32 partial per grid step (the ``kernels/floatwin.py`` math)."""
+    f32 partial per grid step (the ``kernels/floatwin.py`` math).  Tables
+    may be stored bfloat16 (the probe's table-bandwidth variant) — loaded
+    blocks are widened to f32 before the FMA chain either way."""
     rows = ch_ref.shape[0]
     nl = cl_ref.shape[1]
+    ch = ch_ref[:].astype(jnp.float32)
+    sh = sh_ref[:].astype(jnp.float32)
+    cl = cl_ref[:].astype(jnp.float32)
+    sl = sl_ref[:].astype(jnp.float32)
     acc = jnp.full((rows, nl), a0, jnp.float32)
-    for k in range(ch_ref.shape[1]):
+    for k in range(ch.shape[1]):
         acc = acc + (
-            ch_ref[:, k : k + 1] * cl_ref[k : k + 1, :]
-            - sh_ref[:, k : k + 1] * sl_ref[k : k + 1, :]
+            ch[:, k : k + 1] * cl[k : k + 1, :]
+            - sh[:, k : k + 1] * sl[k : k + 1, :]
         )
 
     @pl.when(pl.program_id(0) == 0)
@@ -257,21 +263,27 @@ def _reduce_kernel_f32(bias_ref, ch_ref, sh_ref, cl_ref, sl_ref, out_ref, *,
 
 
 def make_checksum_fn_f32(name_or_coeffs, pw: int, m: int = 11,
-                         rows: int = 128, interpret: bool = False):
+                         rows: int = 128, interpret: bool = False,
+                         table_dtype=None):
     """f32 twin of :func:`make_checksum_fn` over ``kernels/floatwin.py``'s
     tables: ``fn(bias) -> float32`` full-period window sum with the
     reduction in-kernel (window never in HBM).  The sum is sequential over
     grid steps / rows-major within a tile, so it is deterministic; it is a
     *timing* checksum (f32 accumulation of 2^pw terms carries rounding —
-    gate correctness on tile values, not this scalar)."""
+    gate correctness on tile values, not this scalar).
+
+    ``table_dtype=jnp.bfloat16`` stores the trig tables half-width (the
+    f32-bound probe's table-bandwidth variant — costs ~3 decimal digits of
+    window accuracy; measurement-only, not a production mode)."""
     from ..floatwin import _resolve_coeffs, _tables_f32
 
     coeffs = _resolve_coeffs(name_or_coeffs)
     hi_np, lo_np = _tables_f32(coeffs, pw, m)
-    ch = jnp.asarray(hi_np[:, :, 0].T.copy())  # (NH, K-1)
-    sh = jnp.asarray(hi_np[:, :, 1].T.copy())
-    cl = jnp.asarray(lo_np[:, :, 0].copy())  # (K-1, NL)
-    sl = jnp.asarray(lo_np[:, :, 1].copy())
+    dt = table_dtype or jnp.float32
+    ch = jnp.asarray(hi_np[:, :, 0].T.copy(), dt)  # (NH, K-1)
+    sh = jnp.asarray(hi_np[:, :, 1].T.copy(), dt)
+    cl = jnp.asarray(lo_np[:, :, 0].copy(), dt)  # (K-1, NL)
+    sl = jnp.asarray(lo_np[:, :, 1].copy(), dt)
     nh, km1 = ch.shape
     nl = cl.shape[1]
     if nh % rows:
