@@ -140,6 +140,27 @@ def _two_sum(s, e):
     return hi, lo
 
 
+def normalize_pair(s, e):
+    """Host-side (numpy) TwoSum: non-overlapping f32 (hi, lo) with
+    hi + lo == s + e exactly and |lo| <= ulp(hi)/2.
+
+    Deliberately NOT a traced/jitted function.  An in-jit TwoSum is
+    unsound on this toolchain: XLA duplicates the cheap (s, e) producer
+    chain into each consuming fusion with potentially different FMA
+    contraction, so TwoSum's several reads can see values differing in the
+    last ulp — at rounding-tie samples the returned hi then pairs with the
+    *other* rounding's lo and the pair loses exactness (observed: 1.5e-8
+    error at 4/16384 samples on CPU XLA; ``lax.optimization_barrier`` does
+    not survive to the optimized HLO, and XLA unrolls a length-1 scan).
+    The raw (s, e) pair's SUM is exact under any compilation — only the
+    *normalization* is rounding-sensitive — so it runs in numpy where
+    evaluation is deterministic."""
+    s = np.asarray(s, np.float32)
+    e = np.asarray(e, np.float32)
+    hi, lo = _two_sum(s, e)
+    return hi, lo
+
+
 def pack_tables(hi_c, lo_c, hi_p, lo_p):
     """Pack the stacked tables into 2D arrays whose sliced axis is a plain
     leading/trailing dim (so a Pallas BlockSpec can stream the h-axis):
@@ -195,6 +216,14 @@ def comp_window_block(n0, rows: int, name_or_coeffs, pw: int,
     """Window samples [n0, n0 + rows*2^m) as an f32 (hi, lo) pair, each of
     shape (rows * 2^m,), with hi + lo == w[n] to ~3e-10 absolute (BH-7).
 
+    The pair is the RAW (s, e) accumulator pair — its sum carries the full
+    accuracy under any compilation, but the components are not normalized
+    (|lo| can reach ~2^-11 and hi alone is NOT the rounded window).
+    Consumers apply it as ``x*hi + x*lo``; for non-overlapping components
+    or the best-f32 single array use :func:`comp_window` /
+    :func:`normalize_pair` (host-side — see normalize_pair's docstring for
+    why the fold must not live inside jit).
+
     ``n0`` may be traced but must be a multiple of 2^m with the block
     inside one period.  Same API shape as ``floatwin.float_window_block``
     so scanned / sharded callers swap fast modes freely.
@@ -221,17 +250,14 @@ def comp_window_block(n0, rows: int, name_or_coeffs, pw: int,
     s = jnp.full((rows, nl), a0_hi, jnp.float32)
     e = jnp.full((rows, nl), a0_lo, jnp.float32)
     s, e = comp_tile(s, e, slice_h(hic_t), loc_t, slice_h(hip_t), lop_t)
-    hi, lo = _two_sum(s, e)
-    return hi.reshape(rows * nl), lo.reshape(rows * nl)
+    return s.reshape(rows * nl), e.reshape(rows * nl)
 
 
-def comp_window(name_or_coeffs, pw: int, m: int | None = None,
-                pair: bool = False, g: int = GRID_BITS,
-                thresh: float = DEFAULT_THRESH):
-    """Full-period compensated window.  ``pair=False`` (default) returns the
-    folded (2^pw,) f32 array — the best window float32 can express (its
-    floor is the f32 *format* bound: −178.6 dB at pw=16 for BH-7);
-    ``pair=True`` returns the (hi, lo) tuple holding the full f64 floor."""
+def comp_window_pair(name_or_coeffs, pw: int, m: int | None = None,
+                     g: int = GRID_BITS, thresh: float = DEFAULT_THRESH):
+    """Full-period RAW (s, e) pair (traceable — safe inside jit/shard_map;
+    see :func:`comp_window_block`).  hi + lo == w[n] to pair accuracy; the
+    components are not normalized."""
     if m is None:
         m = min(DEFAULT_SPLIT, pw - 1) if pw > 1 else 0
     if m <= 0:
@@ -245,15 +271,27 @@ def comp_window(name_or_coeffs, pw: int, m: int | None = None,
             )
         hi = acc.astype(np.float32)
         lo = (acc - hi.astype(np.float64)).astype(np.float32)
-        if pair:
-            return jnp.asarray(hi), jnp.asarray(lo)
-        return jnp.asarray(hi)
+        return jnp.asarray(hi), jnp.asarray(lo)
     rows = 1 << (pw - m)
-    hi, lo = comp_window_block(0, rows, name_or_coeffs, pw, m=m, g=g,
-                               thresh=thresh)
+    return comp_window_block(0, rows, name_or_coeffs, pw, m=m, g=g,
+                             thresh=thresh)
+
+
+def comp_window(name_or_coeffs, pw: int, m: int | None = None,
+                pair: bool = False, g: int = GRID_BITS,
+                thresh: float = DEFAULT_THRESH):
+    """Full-period compensated window, host-finalized (call OUTSIDE jit).
+
+    ``pair=False`` (default) returns the folded (2^pw,) f32 array — the
+    best window float32 can express (its floor is the f32 *format* bound:
+    −178.6 dB at pw=16 for BH-7); ``pair=True`` returns the normalized,
+    non-overlapping (hi, lo) tuple holding the full f64 floor.  The fold /
+    normalization runs in numpy (:func:`normalize_pair` explains why)."""
+    s, e = comp_window_pair(name_or_coeffs, pw, m=m, g=g, thresh=thresh)
+    hi, lo = normalize_pair(s, e)
     if pair:
-        return hi, lo
-    return hi
+        return jnp.asarray(hi), jnp.asarray(lo)
+    return jnp.asarray(hi)
 
 
 def comp_window_flops(n_samples: int, coeffs, thresh: float = DEFAULT_THRESH,

@@ -104,12 +104,12 @@ def windowed_power_spectrum(x, name_or_coeffs, spec: WindowSpec, hop=None,
                            spec.phase_width)
         return welch_power(x, win, nfft, hop)
     if win_mode == "comp":
-        # compensated-f32 pair applied as two FMAs per sample: the frames
-        # see the window at ~2^-31 accuracy (kernels/compwin.py)
-        from ..kernels.compwin import comp_window
+        # compensated-f32 raw pair applied as two FMAs per sample: the
+        # frames see the window at ~2^-31 accuracy (kernels/compwin.py)
+        from ..kernels.compwin import comp_window_pair
 
-        whi, wlo = comp_window(_check_float_window_arg(name_or_coeffs),
-                               spec.phase_width, pair=True)
+        whi, wlo = comp_window_pair(_check_float_window_arg(name_or_coeffs),
+                                    spec.phase_width)
         fr = frames_view(x, nfft, hop)
         sp = jnp.fft.rfft(fr * whi + fr * wlo, axis=-1)
         return jnp.mean(jnp.abs(sp) ** 2, axis=-2)
@@ -166,10 +166,9 @@ def make_sharded_welch(
                 return float_window(name_or_coeffs, spec.phase_width)
         else:
             def make_win():
-                from ..kernels.compwin import comp_window
+                from ..kernels.compwin import comp_window_pair
 
-                return comp_window(name_or_coeffs, spec.phase_width,
-                                   pair=True)
+                return comp_window_pair(name_or_coeffs, spec.phase_width)
     elif win_mode == "quantized":
         coeffs_q = tuple(int(c) for c in coeffs_q)
         scale = window_scale(spec, shift)

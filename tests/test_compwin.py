@@ -119,8 +119,10 @@ class TestSpectralFloors:
 
 class TestBlocks:
     def test_blocks_tile_the_window(self):
+        from blackman_harris_win_tpu.kernels.compwin import comp_window_pair
+
         pw, m, rows = 14, 8, 4
-        hi_f, lo_f = comp_window("bh7", pw, m=m, pair=True)
+        hi_f, lo_f = comp_window_pair("bh7", pw, m=m)
         step = rows << m
         his, los = [], []
         for n0 in range(0, 1 << pw, step):
@@ -149,6 +151,28 @@ class TestBlocks:
     def test_split_bounds(self):
         with pytest.raises(ValueError, match="split"):
             comp_window_block(0, 1, "hann", 10, m=10)
+
+    def test_jit_fusion_regression(self):
+        """Round-4 regression: under jit, XLA duplicated the (s, e)
+        producer into the TwoSum's consumer fusions with different FMA
+        contraction, breaking pair exactness at rounding-tie samples
+        (1.5e-8 at 4/16384 — the exact shape below).  Fixed by returning
+        the RAW pair from traced code and folding on the host
+        (normalize_pair docstring has the full story)."""
+        pw, m, rows, block = 14, 11, 2, 4096
+        gold = float_window_value("bh7", np.arange(1 << pw), 1 << pw)
+
+        @jax.jit
+        def gen(n0):
+            return comp_window_block(n0, rows, "bh7", pw, m=m)
+
+        worst = 0.0
+        for i in range(4):
+            h, l = gen(jnp.int32(i * block))
+            pair = _pair64(h, l)
+            worst = max(worst, float(np.max(
+                np.abs(pair - gold[i * block:(i + 1) * block]))))
+        assert worst < 5e-9, worst
 
     def test_coeff_sum_guard(self):
         with pytest.raises(ValueError, match="1.9"):

