@@ -186,7 +186,7 @@ def test_comp_inkernel_reduce_on_chip(tpu):
     import jax
     import jax.numpy as jnp
 
-    from blackman_harris_win_tpu.kernels.compwin import comp_window
+    from blackman_harris_win_tpu.kernels.compwin import comp_window_pair
     from blackman_harris_win_tpu.kernels.pallas.outerwin_kernel import (
         make_checksum_fn_comp,
     )
@@ -197,7 +197,7 @@ def test_comp_inkernel_reduce_on_chip(tpu):
 
     @jax.jit
     def jnp_sum():
-        hi, lo = comp_window("bh7", pw, m=m, pair=True)
+        hi, lo = comp_window_pair("bh7", pw, m=m)
         return jnp.sum(hi) + jnp.sum(lo)
 
     want = float(jnp_sum())
