@@ -526,29 +526,44 @@ def main():
 
     # --- configs 16/17: taylor_sincos raw engine — the reference's
     #     designated fast path (src/taylor_sincos.vhd:25-29: 5-11 taps vs
-    #     CORDIC's W+2).  VMEM ROM + XLA gather + tay1 MACC lanes. ---
-    from blackman_harris_win_tpu.kernels.taylor import taylor_sincos
+    #     CORDIC's W+2).  The GATHER-FREE block kernel
+    #     (kernels/taylor.py:taylor_sincos_block): ROM rows by slice, the
+    #     tay1 correction as rank-1 broadcasts.  (The indexed rom[addr]
+    #     gather form measured 295 Msamp/s at 64M — below the FPGA's 400 —
+    #     XLA-gather-bound; see BENCH_NOTES round 4.) ---
+    from blackman_harris_win_tpu.kernels.taylor import (
+        taylor_sincos,
+        taylor_sincos_block,
+        taylor_window_block,
+    )
 
     blk16 = 1 << 22
     nb16 = (1 << pw6) // blk16
-    reps16 = 2
+    reps16 = 8
     for metric, w_t, ls_t, opsps in (
         ("taylor_sincos_w16_lut10_64M", 16, 10, 14),
         ("taylor_sincos_w32_lut12_64M", 32, 12, 24),
     ):
-        # gate: a quadrant-seam block vs the native oracle
-        seam = (1 << pw6) // 4 - 1024 + np.arange(2048, dtype=np.int64)
-        cj, sj = jax.jit(lambda s=seam, w=w_t, ls=ls_t: taylor_sincos(
-            jnp.asarray(s, jnp.int32), pw6, w, ls))()
+        # gate: an R-aligned block spanning the N/4 quadrant seam vs the
+        # native oracle, through BOTH the block kernel and the indexed form
+        r_t = 1 << (pw6 - ls_t - 2)
+        seam0 = (1 << pw6) // 4 - 2 * r_t
+        cnt_t = 4 * r_t
+        seam = seam0 + np.arange(cnt_t, dtype=np.int64)
+        cj, sj = jax.jit(lambda w=w_t, ls=ls_t, c=cnt_t: taylor_sincos_block(
+            jnp.int32(seam0), c, pw6, w, ls))()
         cn, sn = native.taylor_sincos(seam, pw6, w_t, ls_t)
         assert (np.asarray(cj).astype(np.int64) == cn).all(), metric
         assert (np.asarray(sj).astype(np.int64) == sn).all(), metric
+        ci, si = jax.jit(lambda w=w_t, ls=ls_t: taylor_sincos(
+            jnp.asarray(seam[:4096], jnp.int32), pw6, w, ls))()
+        assert (np.asarray(ci).astype(np.int64) == cn[:4096]).all(), metric
 
         @jax.jit
         def gen_tay(seed, w=w_t, ls=ls_t):
             def body(acc, i):
-                n = (i & (nb16 - 1)) * blk16 + jnp.arange(blk16, dtype=jnp.int32)
-                c, s = taylor_sincos(n, pw6, w, ls)
+                n0 = (i & (nb16 - 1)) * blk16
+                c, s = taylor_sincos_block(n0, blk16, pw6, w, ls)
                 return acc + jnp.sum(c) + jnp.sum(s), None
             s_, _ = jax.lax.scan(
                 body, seed, jnp.arange(reps16 * nb16, dtype=jnp.int32))
@@ -556,26 +571,27 @@ def main():
 
         t = _sync_time(lambda: gen_tay(jnp.int32(0)))
         v = reps16 * (1 << pw6) / t / 1e6
-        # rough op model: ROM gather + quadrant folds + 2 MACC lanes
-        # (per-output multiply-add, tay1_order.vhd:180-599); the gather's
-        # true cost is what this config measures.
+        # rough op model: 2 tay1 MACC lanes (multiply-shift + add per
+        # output, tay1_order.vhd:180-599) + quadrant folds
         out.append({"metric": metric, "value": round(v, 1),
                     "unit": "Msamples/s", "vs_fpga_400": round(v / 400, 2),
                     **roofline_fields(
                         t, int_ops=reps16 * (1 << pw6) * opsps)})
         _emit(out)
 
-    # --- config 18: TAYLOR-source 3-term window @ W=32, 64M points ---
+    # --- config 18: TAYLOR-source 3-term window @ W=32, 64M points
+    #     (gather-free taylor_window_block) ---
     q18 = catalog.get("blackman").quantized(32)
     spec18 = WindowSpec(pw6, 32, sin_type="taylor", lut_size=12,
                         rounding="hls", overflow="wrap")
-    from blackman_harris_win_tpu.kernels.window import window_samples
 
     # gate: replicate the HLS w=32 TAYLOR accumulation with the native
     # taylor oracle (full-scale cos, product >> 31, int32 wrap)
-    seam = (1 << pw6) // 2 - 128 + np.arange(256, dtype=np.int64)
-    wj = np.asarray(jax.jit(lambda: window_samples(
-        jnp.asarray(seam, jnp.int32), q18, spec18))()).astype(np.int64)
+    r1_18 = 1 << (pw6 - 12 - 2)
+    seam0 = ((1 << pw6) // 2 - 4 * r1_18)
+    seam = seam0 + np.arange(8 * r1_18, dtype=np.int64)
+    wj = np.asarray(jax.jit(lambda: taylor_window_block(
+        jnp.int32(seam0), 8 * r1_18, q18, spec18))()).astype(np.int64)
     acc = np.full(seam.shape, q18[0], np.int64)
     for k in (1, 2):
         pwk = pw6 - (k - 1)
@@ -588,8 +604,9 @@ def main():
     @jax.jit
     def gen_taywin(seed):
         def body(acc_, i):
-            n = (i & (nb16 - 1)) * blk16 + jnp.arange(blk16, dtype=jnp.int32)
-            return acc_ + jnp.sum(window_samples(n, q18, spec18)), None
+            n0 = (i & (nb16 - 1)) * blk16
+            return acc_ + jnp.sum(taylor_window_block(
+                n0, blk16, q18, spec18)), None
         s_, _ = jax.lax.scan(
             body, seed, jnp.arange(reps16 * nb16, dtype=jnp.int32))
         return s_

@@ -61,7 +61,8 @@ def main():
         ("M12", dict(name="bh7", m=12, rows=256)),
         ("B512", dict(name="bh7", m=11, rows=512, bf16=True)),
         ("K3", dict(name="bh4", m=11, rows=512)),
-        ("K13", dict(name=k13, m=11, rows=512)),
+        # 12 harmonics at rows=512 OOMs scoped VMEM (18.5M > 16M): rows=256
+        ("K13", dict(name=k13, m=11, rows=256)),
         ("F512r", dict(name="bh7", m=11, rows=512)),
     ]
 

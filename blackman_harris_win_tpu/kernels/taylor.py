@@ -19,6 +19,7 @@ from __future__ import annotations
 import math
 from functools import lru_cache
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -86,6 +87,147 @@ def taylor_sincos(n, phase_width: int, data_width: int, lut_size: int):
         jnp.where(quadrant == 1, mem_cos, jnp.where(quadrant == 2, ns, nc)),
     )
     return c, s
+
+
+def taylor_sincos_block(n0, count: int, phase_width: int, data_width: int,
+                        lut_size: int):
+    """Gather-free (cos, sin) over the consecutive index block
+    [n0, n0 + count) — bit-exact vs :func:`taylor_sincos`.
+
+    The indexed form's ``rom[addr]`` gather is XLA-gather-bound at bulk
+    sizes (measured 295 Msamp/s at 64M — *below* the reference FPGA's
+    400).  For consecutive samples the structure removes the gather: with
+    R = 2^(PW-LS-2) residuals per LUT step, every R-aligned run shares one
+    ROM entry, so the block lays out as (rows, R) where
+
+      - the row's ROM entries are CONSECUTIVE addresses -> one
+        ``dynamic_slice`` of a doubled ROM (circular wrap), no gather;
+      - the residual counter acnt == the column index -> the pi*acnt
+        correction operand is a single (1, R) row computed once;
+      - the quadrant is constant per row -> a (rows, 1) select.
+
+    The tay1 correction then runs as rank-1 broadcasts (outer-product
+    style, like ``outerwin.py``).  Constraints: ``n0`` must be R-aligned
+    and ``count`` a multiple of R with count/R <= 2^LUT_SIZE rows per call
+    (the pure-LUT regimes PW-LS <= 2 use R = 1 with strided ROM slicing).
+    ``n0`` may be traced (R-alignment is asserted statically only when
+    concrete).  Returns int32 arrays of shape (count,).
+    """
+    pw, w, ls = phase_width, data_width, lut_size
+    if ls >= pw:
+        raise ValueError("LUT_SIZE must be < PHASE_WIDTH (src/win_selector.vhd:68)")
+    if w > 32:
+        raise ValueError("taylor supports data_width <= 32")
+    rsh = max(pw - ls - 2, 0)  # log2 residuals per ROM step
+    r = 1 << rsh
+    if count % r:
+        raise ValueError(f"count {count} must be a multiple of R = {r}")
+    rows = count // r
+    # one circular ROM wrap max: rows bounded by the per-quadrant step
+    # count (= 2^ls in the tay1/exact regimes, 2^(pw-2) when the LUT is
+    # wider than the quarter phase)
+    max_rows = min(1 << ls, 1 << (pw - 2))
+    if rows > max_rows:
+        raise ValueError(
+            f"count/R = {rows} rows exceed {max_rows} (split the block)"
+        )
+    if isinstance(n0, int) and n0 % r:
+        raise ValueError(f"n0 {n0} must be R-aligned (R = {r})")
+
+    rom = jnp.asarray(_rom(ls, w))  # (2^ls, 2) int32
+    n0 = jnp.asarray(n0, jnp.int32)
+
+    # per-row step index t_i = (n0/R + i) mod 2^(pw-rsh): quadrant = top 2
+    # bits, LUT position = the ls (or pw-2) low bits
+    steps_mask = (1 << (pw - rsh)) - 1
+    t0 = (n0 >> rsh) & steps_mask
+    ti = (t0 + jnp.arange(rows, dtype=jnp.int32)[:, None]) & steps_mask
+    quadrant = ti >> (pw - rsh - 2)  # (rows, 1)
+    pos = ti & ((1 << (pw - rsh - 2)) - 1)
+
+    if pw - ls < 2:
+        # over-wide LUT: addr = pos << (ls-pw+2); strided slice of the
+        # doubled ROM from the dynamic base
+        stride = 1 << (ls - pw + 2)
+        rom2 = jnp.concatenate([rom, rom], axis=0)
+        base = (pos[0, 0] * stride).astype(jnp.int32)
+        blk = jax.lax.dynamic_slice(
+            rom2, (base, jnp.int32(0)), (rows * stride, 2)
+        )[::stride]
+        mem_cos = blk[:, 0:1]
+        mem_sin = blk[:, 1:2]
+    else:
+        # addr = pos (exact regime) or pos == high bits already (tay1)
+        rom2 = jnp.concatenate([rom, rom], axis=0)
+        blk = jax.lax.dynamic_slice(
+            rom2, (pos[0, 0], jnp.int32(0)), (rows, 2)
+        )
+        mem_cos = blk[:, 0:1]
+        mem_sin = blk[:, 1:2]
+        if pw - ls > 2:
+            stage = pw - ls - 3
+            acnt = jnp.arange(r, dtype=jnp.int32)[None, :]  # (1, R)
+            # (rows, 1) x (1, R) rank-1 broadcasts inside the correction
+            mem_cos, mem_sin = _tay1(mem_cos, mem_sin, acnt, stage, ls, w)
+
+    mem_cos = jnp.broadcast_to(mem_cos, (rows, r))
+    mem_sin = jnp.broadcast_to(mem_sin, (rows, r))
+    sw = 32 - w
+    wrap_w = (lambda v: (v << sw) >> sw) if sw else (lambda v: v)
+    nc, ns = wrap_w(-mem_cos), wrap_w(-mem_sin)
+    c = jnp.where(
+        quadrant == 0,
+        mem_cos,
+        jnp.where(quadrant == 1, ns, jnp.where(quadrant == 2, nc, mem_sin)),
+    )
+    s = jnp.where(
+        quadrant == 0,
+        mem_sin,
+        jnp.where(quadrant == 1, mem_cos, jnp.where(quadrant == 2, ns, nc)),
+    )
+    return c.reshape(count), s.reshape(count)
+
+
+def taylor_window_block(n0, count: int, coeffs_q, spec):
+    """Gather-free TAYLOR-source window block [n0, n0+count) — bit-exact vs
+    ``window_samples`` with ``sin_type="taylor"`` (HLS rounding, 2/3-term
+    only; the reference doubles harmonic frequency by instantiating the
+    generator one phase bit narrower, src/bh_win_3term.vhd:221-233).
+
+    Alignment: n0 and count must be multiples of the LARGEST harmonic run
+    R_1 = 2^(PW-LS-2) (harmonic k's run R_k = R_1 / 2^(k-1) then divides
+    it), and count/R_k <= 2^LUT_SIZE for the narrowest harmonic.
+    """
+    pw, w, ls = spec.phase_width, spec.data_width, spec.lut_size
+    coeffs_q = tuple(int(c) for c in coeffs_q)
+    if len(coeffs_q) not in (2, 3):
+        raise ValueError(
+            "TAYLOR sin_type supports 2/3-term windows only "
+            "(src/win_selector.vhd: 4/5/7-term cores are CORDIC-only)"
+        )
+    from .pallas.limb import mul_shift30, mul_wide_parts31
+
+    shift = w - 1  # full-scale Taylor cos amplitude 2^(w-1)
+    amax = max(abs(c) for c in coeffs_q)
+    acc = jnp.full((count,), coeffs_q[0], jnp.int32)
+    n0 = jnp.asarray(n0, jnp.int32)
+    for k in range(1, len(coeffs_q)):
+        pwk = pw - (k - 1)
+        mask = (1 << pwk) - 1
+        c, _ = taylor_sincos_block(n0 & mask, count, pwk, w, ls)
+        if amax.bit_length() + (w - 1) + 1 <= 31:
+            m = (coeffs_q[k] * c) >> shift
+        elif shift <= 30:
+            m = mul_shift30(jnp.int32(coeffs_q[k]), c, shift)
+        else:  # shift == 31: full-scale product at w == 32
+            m, _ = mul_wide_parts31(coeffs_q[k], c)
+        acc = acc - m if k % 2 == 1 else acc + m
+    if spec.overflow == "saturate" and w < 32:
+        return jnp.clip(acc, -(1 << (w - 1)), (1 << (w - 1)) - 1)
+    if w < 32:
+        sw = 32 - w
+        return (acc << sw) >> sw
+    return acc
 
 
 def _tay1(cos_v, sin_v, acnt, stage: int, val_shift: int, w: int):

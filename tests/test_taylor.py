@@ -163,3 +163,78 @@ class TestWideTaylorInt32Lanes:
         # the int32 datapath would silently truncate; must fail loudly
         with pytest.raises(ValueError, match="data_width <= 32"):
             kt.taylor_sincos(np.arange(8), 12, 34, 8)
+
+
+class TestBlockKernel:
+    """Gather-free taylor_sincos_block / taylor_window_block (round 4):
+    bit-exact vs the indexed form across all three PW-LS regimes, quadrant
+    wraps, period wraps, and both tay1 width branches."""
+
+    @pytest.mark.parametrize("pw,w,ls", [
+        (14, 16, 10),   # tay1, W<19 branch
+        (14, 24, 10),   # tay1, W>=19 branch (saturating)
+        (12, 16, 10),   # pw-ls == 2: exact LUT
+        (11, 16, 10),   # pw-ls < 2: over-wide LUT (strided)
+        (14, 32, 12),   # w=32 lanes
+    ])
+    def test_bit_exact_vs_indexed(self, pw, w, ls):
+        rsh = max(pw - ls - 2, 0)
+        r = 1 << rsh
+        count = min(64, 1 << ls) * r
+        # blocks spanning: start, the N/4 quadrant seam, and the period wrap
+        starts = [0, (1 << (pw - 2)) - (count // 2) // r * r,
+                  (1 << pw) - count]
+        for n0 in starts:
+            n0 = (n0 // r) * r
+            cb, sb = kt.taylor_sincos_block(n0, count, pw, w, ls)
+            n = np.arange(n0, n0 + count)
+            ci, si = kt.taylor_sincos(n, pw, w, ls)
+            np.testing.assert_array_equal(np.asarray(cb), np.asarray(ci),
+                                          err_msg=f"cos n0={n0}")
+            np.testing.assert_array_equal(np.asarray(sb), np.asarray(si),
+                                          err_msg=f"sin n0={n0}")
+
+    def test_traced_offset(self):
+        import jax
+        import jax.numpy as jnp
+
+        pw, w, ls = 14, 16, 10
+        r = 1 << (pw - ls - 2)
+
+        @jax.jit
+        def gen(n0):
+            return kt.taylor_sincos_block(n0, 8 * r, pw, w, ls)
+
+        c, s = gen(jnp.int32(32 * r))
+        ci, si = kt.taylor_sincos(np.arange(32 * r, 40 * r), pw, w, ls)
+        np.testing.assert_array_equal(np.asarray(c), np.asarray(ci))
+        np.testing.assert_array_equal(np.asarray(s), np.asarray(si))
+
+    def test_alignment_and_size_guards(self):
+        pw, w, ls = 14, 16, 10
+        r = 1 << (pw - ls - 2)
+        with pytest.raises(ValueError, match="multiple of R"):
+            kt.taylor_sincos_block(0, r + 1, pw, w, ls)
+        with pytest.raises(ValueError, match="R-aligned"):
+            kt.taylor_sincos_block(1, r, pw, w, ls)
+        with pytest.raises(ValueError, match="split the block"):
+            kt.taylor_sincos_block(0, (1 << ls) * r + r, pw, w, ls)
+
+    @pytest.mark.parametrize("name,w", [
+        ("hamming", 16), ("blackman", 24), ("bh3_hls", 32),
+    ])
+    def test_window_block_bit_exact(self, name, w):
+        from blackman_harris_win_tpu.kernels.taylor import taylor_window_block
+
+        pw, ls = 14, 10
+        spec = WindowSpec(pw, w, sin_type="taylor", lut_size=ls,
+                          rounding="hls", overflow="wrap")
+        q = catalog.get(name).quantized(w)
+        r1 = 1 << (pw - ls - 2)
+        count = 32 * r1
+        for n0 in (0, (1 << (pw - 2)) - count // 2, (1 << pw) - count):
+            n0 = (n0 // r1) * r1
+            got = np.asarray(taylor_window_block(n0, count, q, spec))
+            n = np.arange(n0, n0 + count)
+            want = np.asarray(kw.window_samples(n, q, spec))
+            np.testing.assert_array_equal(got, want, err_msg=f"n0={n0}")
