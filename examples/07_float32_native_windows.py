@@ -43,3 +43,26 @@ err = np.max(np.abs(y[256:-256] - np.asarray(x[: 4 * 256])[256:-256]))
 print(f"WOLA interior reconstruction error: {err:.2e}")
 assert err < 1e-4
 print("float32 native windows example: OK")
+
+# 4. the compensated-f32 mode (round 4): the FULL -180 dB BH-7 contract in
+# the float regime.  Pure f32 output cannot hold it (rounding the exact
+# window to f32 already floors at -178.6 dB at pw=16) — the (hi, lo) pair
+# can, applied as x*hi + x*lo.
+from blackman_harris_win_tpu.kernels.compwin import comp_window
+
+hi, lo = comp_window("bh7", 16, pair=True)
+pair = np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+floor_pair = window_sidelobe_db(pair, n_terms=7)
+floor_hi = window_sidelobe_db(np.asarray(hi, np.float64), n_terms=7)
+print(f"bh7 comp pair floor: {floor_pair:.1f} dB (contract -180; "
+      f"folded-f32 alone: {floor_hi:.1f} = the f32 format bound)")
+assert floor_pair <= -180.0
+
+# Welch with the pair window (frames see the window at ~2^-31 accuracy)
+p_c = np.asarray(jax.jit(
+    lambda v: windowed_power_spectrum(v, "bh4", spec, win_mode="comp")
+)(x))
+assert p_c.shape == p.shape and np.isfinite(p_c).all()
+print("comp-mode Welch agrees with float mode to "
+      f"{np.max(np.abs(p_c - p) / (np.abs(p) + 1e-12)):.1e} relative")
+print("compensated-f32 example: OK")
