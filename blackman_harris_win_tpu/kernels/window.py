@@ -237,9 +237,29 @@ def _window_rtl(n, coeffs_q, spec: WindowSpec):
 def make_window(name: str, spec: WindowSpec, coeffs=None):
     """Generate the full 2^phase_width-point quantized window for a named
     coefficient set (the user-facing ``win_selector`` equivalent,
-    src/win_selector.vhd:93-199 — but runtime-dispatchable)."""
+    src/win_selector.vhd:93-199 — but runtime-dispatchable).
+
+    TAYLOR-source HLS windows route through the gather-free block kernel
+    (``taylor.taylor_window_block``, bit-exact vs ``window_samples``;
+    15.7 vs 0.3 Gsamp/s at bulk sizes) in eighth-period chunks — sized so
+    the k=2 harmonic (one phase bit narrower => double the rows per
+    sample) stays within its per-quadrant ROM-row bound."""
     d = catalog.get(name)
     coeffs_q = coeffs if coeffs is not None else d.quantized(spec.data_width)
+    if (
+        spec.sin_type == "taylor"
+        and spec.rounding == "hls"
+        and len(coeffs_q) in (2, 3)
+        and spec.phase_width >= 5
+    ):
+        from .taylor import taylor_window_block
+
+        chunk = spec.n // 8
+        parts = [
+            taylor_window_block(i * chunk, chunk, coeffs_q, spec)
+            for i in range(8)
+        ]
+        return jnp.concatenate(parts)
     n = jnp.arange(spec.n)
     return window_samples(n, coeffs_q, spec)
 

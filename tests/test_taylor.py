@@ -238,3 +238,15 @@ class TestBlockKernel:
             n = np.arange(n0, n0 + count)
             want = np.asarray(kw.window_samples(n, q, spec))
             np.testing.assert_array_equal(got, want, err_msg=f"n0={n0}")
+
+    def test_make_window_routes_through_block_kernel(self):
+        """make_window's TAYLOR fast-path chunks == the indexed form for
+        2- and 3-term windows (incl. the k=2 row-bound sizing)."""
+        for name, w, pw, ls in (("hamming", 16, 12, 10), ("blackman", 24, 14, 10),
+                                ("hann", 16, 11, 10)):
+            spec = WindowSpec(pw, w, sin_type="taylor", lut_size=ls,
+                              rounding="hls", overflow="wrap")
+            got = np.asarray(kw.make_window(name, spec))
+            q = catalog.get(name).quantized(w)
+            want = np.asarray(kw.window_samples(np.arange(1 << pw), q, spec))
+            np.testing.assert_array_equal(got, want, err_msg=name)
