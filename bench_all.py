@@ -54,7 +54,11 @@ reference kernel (the config-11 int in-kernel-reduce checksum) measured
 FIRST in this process.  The chip shows process-level slow/fast regimes
 (whole sweeps scale ~0.7-1.0x between processes, BENCH_NOTES.md): dividing
 any line by its regime_ref (vs the regime_ref of another sweep) makes
-cross-process comparisons self-interpreting.
+cross-process comparisons self-interpreting.  The opening measurement can
+run up to ~2.4x cold (observed: 5299 opening vs 12656 when config 11
+re-times the same kernel warm), so the same kernel is re-timed at the END
+and emitted as ``regime_ref_end`` — the (start, end) pair brackets the
+process's regime over the sweep.
 """
 
 import json
@@ -691,6 +695,16 @@ def main():
                     **roofline_fields(
                         t, int_ops=reps16 * (1 << pw6) * (aw_a - 1) * 8)})
         _emit(out)
+
+    # --- closing regime calibration: same kernel as the opening one ---
+    t = _sync_time(lambda: gen_regime(jnp.int32(0)))
+    ref_end = reps_ref * (1 << pw6) / t / 1e6
+    out.append({"metric": "regime_ref_end", "value": round(ref_end, 1),
+                "unit": "Msamples/s",
+                "note": "closing re-time of the opening calibration kernel; "
+                        "(regime_ref, regime_ref_end) brackets the "
+                        "process's regime over the sweep"})
+    _emit(out)
 
 
 if __name__ == "__main__":
