@@ -19,6 +19,19 @@ from ..core.config import WindowSpec
 from ..kernels.window import window_samples
 
 
+def _taylor_fast_ok(coeffs_q, spec: WindowSpec, block: int) -> bool:
+    """True when a consecutive ``block`` can route through the gather-free
+    TAYLOR block kernel (kernels/taylor.py:taylor_window_range): HLS
+    rounding, 2/3-term, and shard blocks aligned to the largest harmonic
+    run R_1 = 2^(PW-LS-2)."""
+    if spec.sin_type != "taylor" or spec.rounding != "hls":
+        return False
+    if len(coeffs_q) not in (2, 3) or spec.phase_width < 5:
+        return False
+    r1 = 1 << max(spec.phase_width - spec.lut_size - 2, 0)
+    return block % r1 == 0
+
+
 def sharded_window(coeffs_q, spec: WindowSpec, mesh: Mesh, axis: str = "blocks"):
     """Generate the full 2^phase_width window, sharded over ``axis``.
 
@@ -32,10 +45,17 @@ def sharded_window(coeffs_q, spec: WindowSpec, mesh: Mesh, axis: str = "blocks")
     block = spec.n // nshards
     coeffs_q = tuple(int(c) for c in coeffs_q)
 
-    def shard_fn():
-        i = jax.lax.axis_index(axis)
-        n = i * block + jnp.arange(block, dtype=jnp.int32)
-        return window_samples(n, coeffs_q, spec)
+    if _taylor_fast_ok(coeffs_q, spec, block):
+        from ..kernels.taylor import taylor_window_range
+
+        def shard_fn():
+            i = jax.lax.axis_index(axis)
+            return taylor_window_range(i * block, block, coeffs_q, spec)
+    else:
+        def shard_fn():
+            i = jax.lax.axis_index(axis)
+            n = i * block + jnp.arange(block, dtype=jnp.int32)
+            return window_samples(n, coeffs_q, spec)
 
     fn = jax.jit(
         shard_map(
@@ -112,8 +132,18 @@ def sharded_comp_window(name_or_coeffs, pw: int, mesh: Mesh,
 
 def window_shard_fn(coeffs_q, spec: WindowSpec, axis: str, block: int):
     """The per-shard generator for use *inside* a larger shard_mapped step:
-    returns this shard's [i*B, (i+1)*B) window block (no communication)."""
+    returns this shard's [i*B, (i+1)*B) window block (no communication).
+    TAYLOR/HLS configs route through the gather-free block kernel."""
     coeffs_q = tuple(int(c) for c in coeffs_q)
+
+    if _taylor_fast_ok(coeffs_q, spec, block):
+        from ..kernels.taylor import taylor_window_range
+
+        def gen():
+            i = jax.lax.axis_index(axis)
+            return taylor_window_range(i * block, block, coeffs_q, spec)
+
+        return gen
 
     def gen():
         i = jax.lax.axis_index(axis)

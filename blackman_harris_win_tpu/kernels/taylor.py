@@ -230,6 +230,26 @@ def taylor_window_block(n0, count: int, coeffs_q, spec):
     return acc
 
 
+def taylor_window_range(n0, count: int, coeffs_q, spec):
+    """`taylor_window_block` over an arbitrary-length aligned range,
+    auto-chunked so every call respects the per-harmonic row bounds (the
+    k=2 harmonic runs one phase bit narrower => chunk <= 2^(PW-3)).
+
+    ``n0`` (may be traced) and ``count`` must be multiples of the largest
+    harmonic run R_1 = 2^(PW-LS-2).  Drop-in for full-period or sharded
+    consecutive generation (``make_window``, ``dist.generate``)."""
+    pw = spec.phase_width
+    chunk = min(count, 1 << max(pw - 3, 0))
+    while count % chunk:
+        chunk >>= 1
+    n0 = jnp.asarray(n0, jnp.int32)
+    parts = [
+        taylor_window_block(n0 + i * chunk, chunk, coeffs_q, spec)
+        for i in range(count // chunk)
+    ]
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+
+
 def _tay1(cos_v, sin_v, acnt, stage: int, val_shift: int, w: int):
     """1st-order correction (src/tay1_order.vhd); see golden.tay1_correction.
 

@@ -252,14 +252,9 @@ def make_window(name: str, spec: WindowSpec, coeffs=None):
         and len(coeffs_q) in (2, 3)
         and spec.phase_width >= 5
     ):
-        from .taylor import taylor_window_block
+        from .taylor import taylor_window_range
 
-        chunk = spec.n // 8
-        parts = [
-            taylor_window_block(i * chunk, chunk, coeffs_q, spec)
-            for i in range(8)
-        ]
-        return jnp.concatenate(parts)
+        return taylor_window_range(0, spec.n, coeffs_q, spec)
     n = jnp.arange(spec.n)
     return window_samples(n, coeffs_q, spec)
 

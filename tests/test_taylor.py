@@ -250,3 +250,35 @@ class TestBlockKernel:
             q = catalog.get(name).quantized(w)
             want = np.asarray(kw.window_samples(np.arange(1 << pw), q, spec))
             np.testing.assert_array_equal(got, want, err_msg=name)
+
+    def test_range_helper_chunks(self):
+        from blackman_harris_win_tpu.kernels.taylor import taylor_window_range
+
+        pw, w, ls = 13, 16, 10
+        spec = WindowSpec(pw, w, sin_type="taylor", lut_size=ls,
+                          rounding="hls", overflow="wrap")
+        q = catalog.get("blackman").quantized(w)
+        # a range wider than one chunk bound (2^(pw-3))
+        count = 1 << (pw - 1)
+        got = np.asarray(taylor_window_range(1 << (pw - 2), count, q, spec))
+        n = (1 << (pw - 2)) + np.arange(count)
+        want = np.asarray(kw.window_samples(n, q, spec))
+        np.testing.assert_array_equal(got, want)
+
+    def test_sharded_taylor_window_bitwise(self):
+        """dist.generate routes TAYLOR/HLS shards through the block kernel;
+        sharded == single-device bitwise must still hold."""
+        import jax
+
+        from blackman_harris_win_tpu.dist.generate import sharded_window
+        from blackman_harris_win_tpu.dist.mesh import make_mesh
+
+        n_dev = len(jax.devices())
+        mesh = make_mesh(blocks=n_dev)
+        pw, w, ls = 13, 16, 10
+        spec = WindowSpec(pw, w, sin_type="taylor", lut_size=ls,
+                          rounding="hls", overflow="wrap")
+        q = catalog.get("hamming").quantized(w)
+        got = np.asarray(sharded_window(q, spec, mesh))
+        want = np.asarray(kw.window_samples(np.arange(1 << pw), q, spec))
+        np.testing.assert_array_equal(got, want)
