@@ -82,6 +82,26 @@ def cmd_info(args) -> int:
     return 0
 
 
+def cmd_suggest(args) -> int:
+    """Recommend the fastest generation mode for a requirement
+    (windows/modes.py)."""
+    from .windows.modes import recommend_mode
+
+    try:
+        r = recommend_mode(args.window, consumer=args.consumer,
+                           exactness=args.exactness,
+                           target_db=args.target_db)
+    except KeyError as ex:
+        print(str(ex), file=sys.stderr)
+        return 2
+    print(json.dumps({
+        "mode": r.mode,
+        "est_gsamp_s_64M_v5e": r.est_gsamp_s,
+        "rationale": r.rationale,
+    }))
+    return 0
+
+
 def cmd_metrics(args) -> int:
     """harris figure-of-merit table for the catalog (windows/metrics.py) —
     float windows by default, the quantized ones with --data-width."""
@@ -346,6 +366,22 @@ def main(argv=None) -> int:
     p.add_argument("--json", action="store_true",
                    help="one JSON object per window instead of the table")
     p.set_defaults(fn=cmd_metrics)
+
+    p = sub.add_parser(
+        "suggest",
+        help="recommend the fastest generation mode for a requirement",
+    )
+    p.add_argument("window")
+    p.add_argument("--consumer", choices=("float", "int"), default="float",
+                   help="what consumes the window: f32 frames (Welch/STFT)"
+                        " or integer samples (reference-style int FFT)")
+    p.add_argument("--exactness", choices=("bit-exact", "floor"),
+                   default="floor",
+                   help="sample-for-sample reference contract vs the "
+                        "published floor held spectrally")
+    p.add_argument("--target-db", type=float, default=None,
+                   help="required floor (default: the published level)")
+    p.set_defaults(fn=cmd_suggest)
 
     p = sub.add_parser(
         "design",
