@@ -275,3 +275,35 @@ def float_stft_pair(name: str, pw: int, hop: int | None = None):
         return istft(s, win, hop, length)
 
     return fwd, inv, win
+
+
+def comp_stft_pair(name: str, pw: int, hop: int | None = None):
+    """(stft_fn, istft_fn, (whi, wlo)) pair over the compensated-f32
+    window pair (``kernels/compwin.py``): analysis frames are windowed as
+    ``fr*whi + fr*wlo`` so the applied window carries the full f64 floor
+    (BH-7 −180.4 dB — plain f32 holds −163).  The WOLA inverse normalizes
+    by the tiled (whi+wlo)^2 sum.  nfft = 2^pw."""
+    from ..kernels.compwin import comp_window_pair
+
+    nfft = 1 << pw
+    hop = hop or nfft // 2
+    whi, wlo = comp_window_pair(name, pw)
+
+    def fwd(x):
+        fr = frames_view(x, nfft, hop)
+        return jnp.fft.rfft(fr * whi + fr * wlo, axis=-1)
+
+    def inv(s, length=None):
+        fr = jnp.fft.irfft(s, n=nfft, axis=-1)
+        fr = fr * whi + fr * wlo
+        nf = s.shape[-2]
+        t = (nf - 1) * hop + nfft
+        num = overlap_add(fr, hop, length)
+        w1 = whi.astype(num.dtype) + wlo.astype(num.dtype)
+        den = overlap_add(
+            jnp.broadcast_to(w1 * w1, (nf, nfft)), hop, length or t
+        )
+        eps = jnp.asarray(1e-12, num.dtype)
+        return num / jnp.where(jnp.abs(den) < eps, eps, den)
+
+    return fwd, inv, (whi, wlo)

@@ -294,6 +294,35 @@ class TestPipelineIntegration:
         assert np.max(np.abs(_pair64(hi, lo) - gold)) < 5e-9
 
 
+class TestCompStftPair:
+    def test_round_trip(self):
+        from blackman_harris_win_tpu.pipeline.stft import comp_stft_pair
+
+        fwd, inv, (whi, wlo) = comp_stft_pair("bh7", 7, hop=32)
+        assert whi.dtype == jnp.float32 and whi.shape == (128,)
+        rng = np.random.default_rng(13)
+        x = jnp.asarray(rng.normal(size=(512,)).astype(np.float32))
+        y = np.asarray(inv(fwd(x), length=512))
+        np.testing.assert_allclose(
+            y[128:-128], np.asarray(x)[128:-128], atol=1e-4
+        )
+
+    def test_matches_float_pair_spectra(self):
+        from blackman_harris_win_tpu.pipeline.stft import (
+            comp_stft_pair,
+            float_stft_pair,
+        )
+
+        fwd_c, _, _ = comp_stft_pair("bh4", 7, hop=64)
+        fwd_f, _, _ = float_stft_pair("bh4", 7, hop=64)
+        rng = np.random.default_rng(14)
+        x = jnp.asarray(rng.normal(size=(512,)).astype(np.float32))
+        sc = np.asarray(fwd_c(x))
+        sf = np.asarray(fwd_f(x))
+        np.testing.assert_allclose(np.abs(sc), np.abs(sf),
+                                   rtol=1e-4, atol=1e-5)
+
+
 class TestDesignedWindows:
     def test_designed_7term_through_comp_path(self):
         """The −253 dB designed LP solution cannot survive any f32 output,
