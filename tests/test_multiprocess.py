@@ -151,3 +151,23 @@ def test_4proc_channels_grid(mp4_results):
     assert by_pid[1]["owned_cols"] == [2, 4] == by_pid[3]["owned_cols"]
     assert by_pid[2]["block_range"] == [0, n // 2]  # non-zero-row owner
     assert by_pid[3]["block_range"] == [n // 2, n]
+
+
+def test_mp_scaling_harness_runs():
+    """bench_scaling_mp's full driver path at 1/2 processes with tiny
+    sizes — keeps the SCALING artifact harness green (the recorded
+    1/2/4-process artifact is SCALING_r04.json)."""
+    proc = subprocess.run(
+        [sys.executable, str(_REPO / "bench_scaling_mp.py"),
+         "--procs", "1", "2", "--pw-per-device", "12",
+         "--frames-per-device", "4", "--reps", "1"],
+        capture_output=True, text=True, timeout=300, cwd=str(_REPO),
+        env=_child_env(2),
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    line = [l for l in proc.stdout.splitlines()
+            if l.startswith("{\"metric\"")][-1]
+    out = json.loads(line)
+    assert out["metric"] == "mp_weak_scaling_efficiency_cpu_gloo"
+    assert len(out["rows"]) == 2
+    assert out["rows"][1]["nprocs"] == 2 and out["rows"][1]["ndev"] == 4
