@@ -30,8 +30,10 @@ the exact parts *more* exact):
     |a_k| below the compensation threshold contribute ~a_k*2^-22 error in
     plain f32 and go straight into ``e`` (for BH-7 that is a5=7.8e-4 and
     a6=1.4e-5 — their rounding sits below −186 dB).
-5.  A final branch-free TwoSum folds (s, e) into a non-overlapping f32
-    (hi, lo) pair with hi + lo == s + e exactly.
+5.  Traced code returns the RAW (s, e) pair (its SUM is exact under any
+    compilation); the branch-free TwoSum that folds it into a
+    non-overlapping (hi, lo) runs host-side (:func:`normalize_pair` — an
+    in-jit fold is unsound on this toolchain, see its docstring).
 
 Accuracy (measured, pinned in tests/test_compwin.py): BH-7 pair error vs
 the f64 golden < 3e-10; pair spectral floor −180.4 dB at pw=16 (f64:
