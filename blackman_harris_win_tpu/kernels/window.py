@@ -294,6 +294,20 @@ def win_function(sel: int, n, spec: WindowSpec):
 
 def window_block(n0: int, block_len: int, coeffs_q, spec: WindowSpec):
     """A contiguous block [n0, n0+block_len) of the window — the streaming /
-    sharded building block (no host ever needs the full window)."""
+    sharded building block (no host ever needs the full window).  TAYLOR/HLS
+    configs with aligned blocks route through the gather-free block kernel
+    (kernels/taylor.py; ~50x the indexed gather at bulk sizes)."""
+    coeffs_q = tuple(int(c) for c in coeffs_q)
+    if (
+        spec.sin_type == "taylor"
+        and spec.rounding == "hls"
+        and len(coeffs_q) in (2, 3)
+        and spec.phase_width >= 5
+    ):
+        r1 = 1 << max(spec.phase_width - spec.lut_size - 2, 0)
+        if block_len % r1 == 0 and (not isinstance(n0, int) or n0 % r1 == 0):
+            from .taylor import taylor_window_range
+
+            return taylor_window_range(n0, block_len, coeffs_q, spec)
     n = n0 + jnp.arange(block_len)
     return window_samples(n, coeffs_q, spec)

@@ -282,3 +282,19 @@ class TestBlockKernel:
         got = np.asarray(sharded_window(q, spec, mesh))
         want = np.asarray(kw.window_samples(np.arange(1 << pw), q, spec))
         np.testing.assert_array_equal(got, want)
+
+    def test_window_block_routes_and_matches(self):
+        pw, w, ls = 13, 16, 10
+        spec = WindowSpec(pw, w, sin_type="taylor", lut_size=ls,
+                          rounding="hls", overflow="wrap")
+        q = catalog.get("blackman").quantized(w)
+        r1 = 1 << (pw - ls - 2)
+        got = np.asarray(kw.window_block(4 * r1, 16 * r1, q, spec))
+        want = np.asarray(kw.window_samples(
+            4 * r1 + np.arange(16 * r1), q, spec))
+        np.testing.assert_array_equal(got, want)
+        # unaligned n0 falls back to the indexed form (still correct)
+        got2 = np.asarray(kw.window_block(4 * r1 + 1, 16 * r1, q, spec))
+        want2 = np.asarray(kw.window_samples(
+            4 * r1 + 1 + np.arange(16 * r1), q, spec))
+        np.testing.assert_array_equal(got2, want2)
