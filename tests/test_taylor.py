@@ -298,3 +298,36 @@ class TestBlockKernel:
         want2 = np.asarray(kw.window_samples(
             4 * r1 + 1 + np.arange(16 * r1), q, spec))
         np.testing.assert_array_equal(got2, want2)
+
+
+class TestInKernelReduceTaylor:
+    def test_interpret_checksum_matches_jnp(self):
+        import jax.numpy as jnp
+
+        from blackman_harris_win_tpu.kernels.pallas.taylor_kernel import (
+            make_checksum_fn_taylor,
+        )
+
+        pw, w, ls, rows = 14, 16, 10, 8
+        fn = make_checksum_fn_taylor(pw, w, ls, rows=rows, interpret=True)
+        got = int(fn(jnp.int32(0), jnp.int32(0)))
+        c, s = kt.taylor_sincos(np.arange(1 << pw), pw, w, ls)
+        want = int((np.asarray(c).astype(np.int64).sum()
+                    + np.asarray(s).astype(np.int64).sum())
+                   & 0xFFFFFFFF)
+        want = want - (1 << 32) if want >= (1 << 31) else want
+        assert got == want
+        # bias threads through; a shifted period gives the same wrap sum
+        assert int(fn(jnp.int32(0), jnp.int32(7))) == want + 7
+        r = 1 << (pw - ls - 2)
+        assert int(fn(jnp.int32(rows * r), jnp.int32(0))) == want
+
+    def test_guards(self):
+        from blackman_harris_win_tpu.kernels.pallas.taylor_kernel import (
+            make_checksum_fn_taylor,
+        )
+
+        with pytest.raises(ValueError, match="tay1 regime"):
+            make_checksum_fn_taylor(12, 16, 10)
+        with pytest.raises(ValueError, match="divide"):
+            make_checksum_fn_taylor(14, 16, 10, rows=24)

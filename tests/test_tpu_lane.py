@@ -236,3 +236,33 @@ def test_w32_saturate_tracking_on_chip(tpu):
     for i, ni in enumerate(n):
         assert int(got[i]) == exact(int(ni)), ni
     assert int(got[3]) == (1 << 31) - 1  # the clamped peak
+
+
+def test_taylor_inkernel_reduce_on_chip(tpu):
+    """The taylor in-kernel-reduce kernel (modular ROM BlockSpec streaming)
+    compiled on chip: checksum == the indexed jnp form bit-for-bit."""
+    import jax
+    import jax.numpy as jnp
+
+    from blackman_harris_win_tpu.kernels.pallas.taylor_kernel import (
+        make_checksum_fn_taylor,
+    )
+    from blackman_harris_win_tpu.kernels.taylor import taylor_sincos_block
+
+    pw, w, ls, rows = 18, 16, 10, 16
+    fn = make_checksum_fn_taylor(pw, w, ls, rows=rows)
+    got = int(jax.jit(fn)(jnp.int32(0), jnp.int32(3)))
+
+    r = 1 << (pw - ls - 2)
+    nb = (1 << pw) // (rows * r)
+
+    @jax.jit
+    def jnp_sum():
+        def body(acc, i):
+            c, s = taylor_sincos_block(i * rows * r, rows * r, pw, w, ls)
+            return acc + jnp.sum(c) + jnp.sum(s), None
+        s_, _ = jax.lax.scan(body, jnp.int32(3),
+                             jnp.arange(nb, dtype=jnp.int32))
+        return s_
+
+    assert got == int(jnp_sum())
