@@ -66,7 +66,11 @@ def _spawn_children(script: str, nprocs: int, devs_per_proc: int):
              str(port), str(i), str(nprocs)],
             env=env,
             stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT,
+            # stderr captured SEPARATELY: merging it into stdout let jax
+            # warnings interleave mid-line with the MP_RESULT JSON under
+            # load (observed as a flaky json.decode error in full-suite
+            # runs on this 2-core host)
+            stderr=subprocess.PIPE,
             text=True,
             cwd=str(_REPO),
         )
@@ -75,16 +79,16 @@ def _spawn_children(script: str, nprocs: int, devs_per_proc: int):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=300)
-            outs.append(out)
+            out, err = p.communicate(timeout=600)
+            outs.append((out, err))
     finally:
         for p in procs:
             if p.poll() is None:
                 p.kill()  # exact PID of a process we spawned
-    for i, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"child {i} failed:\n{out}"
+    for i, (p, (out, err)) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"child {i} failed:\n{out}\n{err}"
     results = []
-    for out in outs:
+    for out, err in outs:
         line = next(
             l for l in out.splitlines() if l.startswith("MP_RESULT ")
         )
