@@ -35,8 +35,8 @@ Configs covered (BASELINE.json):
  13. Same, with the Pallas in-kernel f32 reduction (no harness wall)
  14. BH-7 N=64M compensated-f32 generation (kernels/compwin.py — the FULL
      -180 dB contract for float consumers via (hi, lo) pairs; jnp harness)
- 15. Same, with the Pallas in-kernel reduction (whole compensated pipeline
-     incl. the TwoSum fold inside the kernel)
+ 15. Same, with the Pallas in-kernel reduction (raw-pair deployment shape,
+     both accumulator tiles read by the reduction)
  16. taylor_sincos raw engine W=16 / LUT=10 (tay1 DSP48-MACC regime,
      src/taylor_sincos.vhd:169-221) — 64M phases, bit-exact vs the native
      oracle

@@ -143,9 +143,12 @@ def make_checksum_fn(coeffs_q, spec: WindowSpec, m: int = 11,
 
 def _reduce_kernel_comp(bias_ref, hic_ref, loc_ref, hip_ref, lop_ref,
                         out_ref, *, a0_hi, a0_lo):
-    """Compensated-f32 tile generate + TwoSum fold + reduce: one f32
-    partial (sum hi + sum lo) per grid step (``kernels/compwin.py``)."""
-    from ..compwin import _two_sum, comp_tile
+    """Compensated-f32 tile generate + reduce: one f32 partial
+    (sum s + sum e — reading both tiles, like a pair consumer) per grid
+    step.  Matches the deployment shape: traced code ships the RAW (s, e)
+    pair (``kernels/compwin.py``; the TwoSum normalization is host-side
+    by design — see ``normalize_pair``)."""
+    from ..compwin import comp_tile
 
     rows = hic_ref.shape[0]
     nl = loc_ref.shape[1]
@@ -156,20 +159,19 @@ def _reduce_kernel_comp(bias_ref, hic_ref, loc_ref, hip_ref, lop_ref,
     lop = lop_ref[:] if lop_ref is not None else jnp.zeros((0, nl),
                                                            jnp.float32)
     s, e = comp_tile(s, e, hic_ref[:], loc_ref[:], hip, lop)
-    hi, lo = _two_sum(s, e)
 
     @pl.when(pl.program_id(0) == 0)
     def _():
         out_ref[0, 0] = bias_ref[0].astype(jnp.float32)
 
-    out_ref[0, 0] += jnp.sum(hi) + jnp.sum(lo)
+    out_ref[0, 0] += jnp.sum(s) + jnp.sum(e)
 
 
 def make_checksum_fn_comp(name_or_coeffs, pw: int, m: int = 11,
                           rows: int = 128, interpret: bool = False):
     """Compensated-f32 twin of :func:`make_checksum_fn_f32`: full-period
-    (hi + lo) window sum with the whole compensated pipeline — grid
-    products, correction accumulator, TwoSum fold — inside the kernel, one
+    (s + e) window sum with the compensated generation — grid products +
+    correction accumulator (the deployment shape: raw pairs) — in-kernel, one
     f32 partial per grid step.  Timing checksum (gate correctness on tile
     values via ``compwin.comp_window_block``, not this scalar)."""
     from ..compwin import (
