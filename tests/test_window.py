@@ -291,3 +291,48 @@ class TestW32SaturateTracking:
         b = np.asarray(window_values(
             n, q, WindowSpec(pw, 32, rounding="hls", overflow="wrap")))
         np.testing.assert_array_equal(a, b)
+
+
+class TestBeyond64M:
+    """The reference tops out at 64M points (README.md:2); the closed-form
+    phase math carries further — pw=28 (256M) pinned bit-exact at the
+    quadrant seam through the wide int32-lane datapath, plus the f32/comp
+    fast modes at pair accuracy (chip throughput in BENCH_NOTES round 4)."""
+
+    def test_pw28_exact_path_bit_exact(self):
+        import jax
+        import jax.numpy as jnp
+
+        from blackman_harris_win_tpu.kernels.pallas.window_kernel import (
+            window_values,
+        )
+        from blackman_harris_win_tpu.model import native
+
+        pw = 28
+        q = catalog.get("bh7").quantized(32)
+        spec = WindowSpec(pw, 32, overflow="wrap")
+        seam = (1 << pw) // 4 - 64 + np.arange(128, dtype=np.int64)
+        wj = np.asarray(jax.jit(lambda: window_values(
+            jnp.asarray(seam, jnp.int32), q, spec))()).astype(np.int64)
+        wn = native.win_hls(seam, q, pw, 32)
+        np.testing.assert_array_equal(wj, wn)
+
+    def test_pw28_float_and_comp_blocks(self):
+        import jax
+        import jax.numpy as jnp
+
+        from blackman_harris_win_tpu.kernels.compwin import comp_window_block
+        from blackman_harris_win_tpu.kernels.floatwin import (
+            float_window_block,
+        )
+
+        pw, n0 = 28, 1 << 27
+        gold = catalog.float_window_value(
+            "bh7", n0 + np.arange(2048), 1 << pw)
+        f = np.asarray(jax.jit(lambda: float_window_block(
+            jnp.int32(n0), 1, "bh7", pw))()).astype(np.float64)
+        assert np.max(np.abs(f - gold)) < 1.5e-6
+        h, l = jax.jit(lambda: comp_window_block(
+            jnp.int32(n0), 1, "bh7", pw))()
+        pair = np.asarray(h, np.float64) + np.asarray(l, np.float64)
+        assert np.max(np.abs(pair - gold)) < 5e-9
