@@ -333,3 +333,36 @@ class TestDesignedWindows:
         hi, lo = comp_window(tuple(r.coeffs), 16, pair=True)
         fl = window_sidelobe_db(_pair64(hi, lo), n_terms=5)
         assert fl <= r.sidelobe_db + 1.0
+
+
+class TestPropertyGrid:
+    @pytest.mark.parametrize("pw,m", [
+        (10, 5), (12, 7), (12, 11), (14, 6), (14, 11), (13, 12),
+    ])
+    def test_pair_accuracy_across_splits(self, pw, m):
+        from blackman_harris_win_tpu.kernels.compwin import comp_window_pair
+
+        hi, lo = comp_window_pair("bh7", pw, m=m)
+        gold = float_window_value("bh7", np.arange(1 << pw), 1 << pw)
+        assert np.max(np.abs(_pair64(hi, lo) - gold)) < 5e-9, (pw, m)
+
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3])
+    def test_random_coefficient_sets(self, seed):
+        """Random normalized K-term sets (the design-module output shape)
+        hold pair accuracy — the grid-exactness argument is coefficient-
+        independent as long as sum |a_k| < 1.9."""
+        from blackman_harris_win_tpu.kernels.compwin import comp_window_pair
+
+        rng = np.random.default_rng(seed)
+        k = int(rng.integers(2, 8))
+        a = rng.uniform(0.01, 1.0, k)
+        a = a / a.sum()  # unit sum -> sum |a| == 1
+        coeffs = tuple(float(v) for v in a)
+        pw = 12
+        hi, lo = comp_window_pair(coeffs, pw)
+        n = np.arange(1 << pw)
+        gold = np.full(n.shape, coeffs[0], np.float64)
+        for j, aj in enumerate(coeffs[1:], start=1):
+            gold += ((-1.0) ** j) * aj * np.cos(
+                2.0 * np.pi * j * n / (1 << pw))
+        assert np.max(np.abs(_pair64(hi, lo) - gold)) < 5e-9, coeffs
