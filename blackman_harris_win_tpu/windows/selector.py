@@ -51,6 +51,12 @@ class WinSelector:
     aa: tuple[int, ...] | None = None
     rounding: str = "hls"
     overflow: str = "saturate"
+    #: rounding="rtl" + CORDIC only: halve the AA0 port so the window has
+    #: its published floor instead of the half-gain DC pedestal (the VHDL
+    #: product datapath is scaled for the full-scale TAYLOR cos source —
+    #: PARITY.md "Known reference quirks"; kernels/window.rtl_cordic_coeffs).
+    #: Default False = faithful raw-port semantics.
+    rtl_a0_correction: bool = False
 
     def __post_init__(self):
         if self.win_type not in _WIN_TYPES:
@@ -86,9 +92,19 @@ class WinSelector:
     @property
     def coeffs_q(self) -> tuple[int, ...]:
         if self.aa is not None:
-            return tuple(int(a) for a in self.aa)
-        _, default = _WIN_TYPES[self.win_type]
-        return catalog.get(default).quantized(self.dat_width)
+            q = tuple(int(a) for a in self.aa)
+        else:
+            _, default = _WIN_TYPES[self.win_type]
+            q = catalog.get(default).quantized(self.dat_width)
+        if (
+            self.rtl_a0_correction
+            and self.rounding == "rtl"
+            and self.sin_type == "CORDIC"
+        ):
+            from ..kernels.window import rtl_cordic_coeffs
+
+            q = rtl_cordic_coeffs(q)
+        return q
 
     def __call__(self, n=None):
         """Window samples at indices ``n`` (default: the full 2^PHI_WIDTH

@@ -117,3 +117,33 @@ class TestStreamingCheckpoint:
         want = np.asarray(make_window("bh4", spec))
         np.testing.assert_array_equal(out, want)
         assert StreamCursor.load(p).done
+
+
+class TestSelectorRtlCorrection:
+    def test_corrected_ports_restore_floor(self):
+        """WinSelector(rtl_a0_correction=True) hands the halved-AA0 ports
+        to the RTL core: published floor instead of the -39 dB pedestal."""
+        import numpy as np
+
+        from blackman_harris_win_tpu.utils.spectral import window_sidelobe_db
+        from blackman_harris_win_tpu.windows.selector import WinSelector
+
+        raw = WinSelector("BH4TERM", phi_width=12, dat_width=17,
+                          rounding="rtl", overflow="wrap")
+        fixed = WinSelector("BH4TERM", phi_width=12, dat_width=17,
+                            rounding="rtl", overflow="wrap",
+                            rtl_a0_correction=True)
+        w_raw = np.asarray(raw(), np.float64)
+        w_fix = np.asarray(fixed(), np.float64)
+        assert window_sidelobe_db(w_raw) > -45.0  # the faithful pedestal
+        assert window_sidelobe_db(w_fix) <= -92.0  # published BH-4 floor
+
+    def test_correction_ignored_outside_rtl_cordic(self):
+        import numpy as np
+
+        from blackman_harris_win_tpu.windows.selector import WinSelector
+
+        a = WinSelector("BH4TERM", phi_width=10, dat_width=17)
+        b = WinSelector("BH4TERM", phi_width=10, dat_width=17,
+                        rtl_a0_correction=True)
+        np.testing.assert_array_equal(np.asarray(a()), np.asarray(b()))
