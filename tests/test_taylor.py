@@ -243,7 +243,11 @@ class TestBlockKernel:
         """make_window's TAYLOR fast-path chunks == the indexed form for
         2- and 3-term windows (incl. the k=2 row-bound sizing)."""
         for name, w, pw, ls in (("hamming", 16, 12, 10), ("blackman", 24, 14, 10),
-                                ("hann", 16, 11, 10)):
+                                ("hann", 16, 11, 10),
+                                # k=1 exact-LUT / k=2 over-wide mix
+                                ("blackman", 16, 12, 10),
+                                # k=1 tay1 / k=2 exact-LUT mix
+                                ("bh3_hls", 16, 13, 10)):
             spec = WindowSpec(pw, w, sin_type="taylor", lut_size=ls,
                               rounding="hls", overflow="wrap")
             got = np.asarray(kw.make_window(name, spec))
