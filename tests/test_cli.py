@@ -259,3 +259,24 @@ def test_stft_frames_npy(tmp_path, capsys):
     assert s.shape == (11, nfft // 2 + 1) and np.iscomplexobj(s)
     # the tone shows up in bin 16 of every frame
     assert (np.abs(s).argmax(axis=1) == 16).all()
+
+
+def test_gen_taylor_source_bit_exact(tmp_path):
+    """CLI gen --sin-type taylor rides the gather-free block kernel
+    (make_window routing) and stays bit-exact vs the scalar golden."""
+    f = tmp_path / "w.npy"
+    assert main([
+        "gen", "blackman", "--phase-width", "11", "--data-width", "16",
+        "--sin-type", "taylor", "--lut-size", "9", "--overflow", "wrap",
+        "--out", str(f),
+    ]) == 0
+    w = np.load(f)
+    assert len(w) == 2048
+    q = catalog.get("blackman").quantized(16)
+    from blackman_harris_win_tpu.core.config import WindowSpec
+    from blackman_harris_win_tpu.kernels.window import window_samples
+
+    spec = WindowSpec(11, 16, sin_type="taylor", lut_size=9,
+                      overflow="wrap")
+    want = np.asarray(window_samples(np.arange(2048), q, spec))
+    np.testing.assert_array_equal(w, want)
