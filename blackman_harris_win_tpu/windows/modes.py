@@ -23,6 +23,10 @@ The non-obvious rules this encodes:
   physically floors at -178.6 dB at pw=16).
 - The int fast mode ("outer") only wins when the consumer needs *integer*
   samples but not bit-exactness.
+- In the fused window->FFT deployment the generator runs in the FFT's
+  shadow and the comp pair is ~4-6% FASTER than the int mode (it drops
+  the int->f32 convert pass; BENCH_NOTES round 4) — standalone
+  generation throughput is not the deployment ranking.
 """
 
 from __future__ import annotations
