@@ -334,6 +334,27 @@ class TestDesignedWindows:
         fl = window_sidelobe_db(_pair64(hi, lo), n_terms=5)
         assert fl <= r.sidelobe_db + 1.0
 
+    def test_designed_7term_pair_hits_sampled_floor(self):
+        """The −253 dB K=7 design: the SAMPLED window's measurable floor is
+        ~−180.8 (periodic sinc-tail aliasing at finite N, not the
+        continuous-DTFT −253), and the comp pair carries it there exactly
+        (pair error 2e-10 — below the aliasing floor)."""
+        from blackman_harris_win_tpu.windows.design import design_min_sidelobe
+
+        r = design_min_sidelobe(7)
+        pw = 16
+        hi, lo = comp_window(tuple(r.coeffs), pw, pair=True)
+        pair = _pair64(hi, lo)
+        n = np.arange(1 << pw)
+        gold = np.full(n.shape, r.coeffs[0], np.float64)
+        for k, a in enumerate(r.coeffs[1:], start=1):
+            gold += ((-1.0) ** k) * a * np.cos(2 * np.pi * k * n / (1 << pw))
+        assert np.max(np.abs(pair - gold)) < 1e-9
+        fl_pair = window_sidelobe_db(pair, n_terms=7)
+        fl_gold = window_sidelobe_db(gold, n_terms=7)
+        assert fl_pair <= -180.5  # measured -180.8
+        assert abs(fl_pair - fl_gold) < 0.2  # pair == f64 sampled floor
+
 
 class TestPropertyGrid:
     @pytest.mark.parametrize("pw,m", [
