@@ -40,8 +40,8 @@ def main():
     from blackman_harris_win_tpu.kernels.pallas.window_kernel import window_values
     from blackman_harris_win_tpu.model import golden, native
     from blackman_harris_win_tpu.utils.profiling import (
-        CHIP_PEAKS,
         cordic_window_int_ops,
+        roofline_fields,
     )
     from blackman_harris_win_tpu.windows import catalog
 
@@ -95,7 +95,7 @@ def main():
     nsamples = reps_per_dispatch * (1 << pw)
     msamps = nsamples / dt / 1e6
     int_ops = cordic_window_int_ops(nsamples, 7, w, wide=True)
-    vpu_frac = int_ops / dt / (CHIP_PEAKS["v5e"]["vpu_int_gops"] * 1e9)
+    fields = roofline_fields(dt, int_ops=int_ops)
     print(
         json.dumps(
             {
@@ -103,10 +103,13 @@ def main():
                 "value": round(msamps, 1),
                 "unit": "Msamples/s",
                 "vs_baseline": round(msamps / 400.0, 2),
-                "vpu_frac": round(vpu_frac, 3),
-                "hbm_frac": 0.0,
+                **fields,
                 "accounting": "compute-roofline; checksum reduction on "
-                "device, window never written to HBM (see BENCH_NOTES.md)",
+                "device, window never written to HBM.  vpu_frac is "
+                "utilization of the FMA-credited op ceiling (2 ops/slot; "
+                "physically <= 1); opmodel_nofma_x compares against the "
+                "no-fusion op model and may read > 1 where FMA fusion "
+                "covers it (see BENCH_NOTES.md)",
                 "golden_seed": seed,
             }
         )

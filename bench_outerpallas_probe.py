@@ -111,10 +111,12 @@ def main():
         v = reps * n_total / t / 1e6
         ops = outer_window_int_ops(reps * n_total, 7)
         results[rows] = v
+        from blackman_harris_win_tpu.utils.profiling import roofline_fields
+
         print(json.dumps({
             "variant": f"P{rows}_pallas_inkernel_reduce",
             "msamples_per_s": round(v, 1),
-            "vpu_frac": round(ops / t / 3.5e12, 3),
+            **roofline_fields(t, int_ops=ops),
         }), flush=True)
 
     # --- J again (drift check within the process) ---

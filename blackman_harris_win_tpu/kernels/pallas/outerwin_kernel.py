@@ -186,6 +186,15 @@ def make_checksum_fn_comp(name_or_coeffs, pw: int, m: int = 11,
     hi_c, lo_c, hi_p, lo_p, a0_hi, a0_lo = _tables_comp(
         coeffs, pw, m, GRID_BITS, DEFAULT_THRESH
     )
+    if hi_c.shape[0] == 0:
+        # all |a_k| below the compensation threshold: the comp kernel's
+        # BlockSpecs would be zero-width and nl would come from the (0, 1)
+        # placeholder loc table — fail loudly (use make_checksum_fn_f32;
+        # no catalog window hits this, only custom coeffs/thresh)
+        raise ValueError(
+            "no harmonic exceeds the compensation threshold; use "
+            "make_checksum_fn_f32 (plain f32) for this coefficient set"
+        )
     hic_np, loc_np, hip_np, lop_np = pack_tables(hi_c, lo_c, hi_p, lo_p)
     nh, c4 = hic_np.shape
     nl = loc_np.shape[1]

@@ -210,6 +210,12 @@ def taylor_window_block(n0, count: int, coeffs_q, spec):
     shift = w - 1  # full-scale Taylor cos amplitude 2^(w-1)
     amax = max(abs(c) for c in coeffs_q)
     acc = jnp.full((count,), coeffs_q[0], jnp.int32)
+    # At w == 32 the int32 accumulator IS the W-bit register: "saturate"
+    # needs wrap tracking (signed overflow counter; each step's |m| < 2^31
+    # so true = acc + ov*2^32 exactly — same scheme as
+    # pallas/window_kernel.py's w==32 saturate path).
+    track_ov = spec.overflow == "saturate" and w == 32
+    ov = jnp.zeros((count,), jnp.int32) if track_ov else None
     n0 = jnp.asarray(n0, jnp.int32)
     for k in range(1, len(coeffs_q)):
         pwk = pw - (k - 1)
@@ -221,7 +227,16 @@ def taylor_window_block(n0, count: int, coeffs_q, spec):
             m = mul_shift30(jnp.int32(coeffs_q[k]), c, shift)
         else:  # shift == 31: full-scale product at w == 32
             m, _ = mul_wide_parts31(coeffs_q[k], c)
-        acc = acc - m if k % 2 == 1 else acc + m
+        t = -m if k % 2 == 1 else m
+        res = acc + t
+        if track_ov:
+            of = (~(acc ^ t) & (acc ^ res)) >> 31
+            ov = ov + jnp.where(of != 0, (acc >> 31) | 1, 0)
+        acc = res
+    if track_ov:
+        imax = jnp.int32((1 << 31) - 1)
+        imin = jnp.int32(-(1 << 31))
+        return jnp.where(ov > 0, imax, jnp.where(ov < 0, imin, acc))
     if spec.overflow == "saturate" and w < 32:
         return jnp.clip(acc, -(1 << (w - 1)), (1 << (w - 1)) - 1)
     if w < 32:

@@ -159,6 +159,12 @@ def _window_hls(n, coeffs_q, spec: WindowSpec):
     n = jnp.asarray(n, phase_dt)
 
     acc = jnp.full(n.shape, int(coeffs_q[0]), pdt)
+    # w == 32 saturate on int32 lanes: the accumulator IS the W-bit
+    # register, so clipping after the fact is a no-op — track signed
+    # overflow per step instead (each |m| < 2^31, so true value ==
+    # acc + ov*2^32 exactly; same scheme as pallas/window_kernel.py).
+    track_ov = spec.overflow == "saturate" and w == 32 and i32_prod
+    ov = jnp.zeros(n.shape, jnp.int32) if track_ov else None
     shift = w - 2 if spec.sin_type == "cordic" else w - 1
     for k in range(1, len(coeffs_q)):
         c = _harmonic_cos(n, k, spec)
@@ -173,9 +179,18 @@ def _window_hls(n, coeffs_q, spec: WindowSpec):
                 m, _ = mul_wide_parts31(int(coeffs_q[k]), c.astype(jnp.int32))
         else:
             m = (jnp.asarray(coeffs_q[k], pdt) * c.astype(pdt)) >> shift
-        acc = acc - m if k % 2 == 1 else acc + m
+        t = -m if k % 2 == 1 else m
+        res = acc + t
+        if track_ov:
+            of = (~(acc ^ t) & (acc ^ res)) >> 31
+            ov = ov + jnp.where(of != 0, (acc >> 31) | 1, 0)
+        acc = res
 
-    if spec.overflow == "saturate":
+    if track_ov:
+        imax = jnp.int32((1 << 31) - 1)
+        imin = jnp.int32(-(1 << 31))
+        out = jnp.where(ov > 0, imax, jnp.where(ov < 0, imin, acc))
+    elif spec.overflow == "saturate":
         out = jnp.clip(acc, -(1 << (w - 1)), (1 << (w - 1)) - 1)
     else:  # wrap: win_t cast (ap_int<W>)
         nb = jnp.iinfo(pdt).bits
@@ -305,7 +320,12 @@ def window_block(n0: int, block_len: int, coeffs_q, spec: WindowSpec):
         and spec.phase_width >= 5
     ):
         r1 = 1 << max(spec.phase_width - spec.lut_size - 2, 0)
-        if block_len % r1 == 0 and (not isinstance(n0, int) or n0 % r1 == 0):
+        # The block kernel requires n0 to be R_1-aligned; a traced n0 cannot
+        # be checked here (taylor_sincos_block's alignment assert is static
+        # only), so traced offsets take the indexed window_samples path —
+        # callers with provably aligned traced offsets (dist/generate.py)
+        # call taylor_window_range directly.
+        if block_len % r1 == 0 and isinstance(n0, int) and n0 % r1 == 0:
             from .taylor import taylor_window_range
 
             return taylor_window_range(n0, block_len, coeffs_q, spec)

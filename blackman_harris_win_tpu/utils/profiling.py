@@ -23,10 +23,21 @@ import jax.numpy as jnp
 import numpy as np
 
 #: Rough per-chip peaks for roofline context (public figures; v5e defaults).
+#: ``vpu_int_gops`` is the scalar-op issue peak (one add/mul/shift per ALU
+#: slot per cycle).  Each ALU slot can instead retire a fused multiply-add
+#: (2 ops), so the *op-counted* ceiling for FMA-friendly code is
+#: ``VPU_FMA_OPS_PER_SLOT`` x this figure — no kernel can exceed that, which
+#: is what makes the ``vpu_frac`` field below physically <= 1.
 CHIP_PEAKS = {
     "v5e": {"hbm_gbps": 819.0, "vpu_int_gops": 3500.0},
     "v5p": {"hbm_gbps": 2765.0, "vpu_int_gops": 7000.0},
 }
+
+#: Ops retired per ALU slot when a multiply pairs with its dependent
+#: add/sub (fused multiply-add).  The analytic kernel op models count
+#: mul and add separately (no-fusion), so the achievable op ceiling is
+#: this factor times the scalar peak.
+VPU_FMA_OPS_PER_SLOT = 2.0
 
 
 def host_synced_seconds(fn, *args, reps: int = 5) -> float:
@@ -64,7 +75,10 @@ class KernelReport:
 
     @property
     def vpu_fraction(self) -> float:
+        """Fraction of the FMA-credited op ceiling (physically <= 1; see
+        :func:`roofline_fields`)."""
         peak = CHIP_PEAKS[self.chip]["vpu_int_gops"] * 1e9
+        peak *= VPU_FMA_OPS_PER_SLOT
         return (self.int_ops / self.seconds) / peak if self.int_ops else 0.0
 
     def json_line(self) -> str:
@@ -102,10 +116,23 @@ def outer_window_int_ops(n_samples: int, n_terms: int) -> int:
 def roofline_fields(seconds: float, int_ops: int = 0, bytes_moved: int = 0,
                     chip: str = "v5e") -> dict:
     """The bench JSON roofline fields (BENCH_NOTES.md documents the op/byte
-    models behind each config)."""
+    models behind each config).
+
+    ``vpu_frac`` is utilization of the FMA-credited op ceiling
+    (``VPU_FMA_OPS_PER_SLOT`` x the scalar-op peak): an ALU slot retires at
+    most one mul+add pair per cycle, so no kernel's op rate can exceed that
+    ceiling and the field is physically <= 1.  ``opmodel_nofma_x`` is the
+    measured op rate over the *no-fusion* scalar-op peak — a bound ratio,
+    not a utilization: a value above 1.0 means FMA fusion demonstrably
+    covers the difference (the analytic models count mul and add as
+    separate ops).  True slot utilization lies in
+    [vpu_frac, min(1, opmodel_nofma_x)]."""
     peaks = CHIP_PEAKS[chip]
+    vp = peaks["vpu_int_gops"] * 1e9
     return {
-        "vpu_frac": round(int_ops / seconds / (peaks["vpu_int_gops"] * 1e9), 3)
+        "vpu_frac": round(int_ops / seconds / (vp * VPU_FMA_OPS_PER_SLOT), 3)
+        if int_ops else 0.0,
+        "opmodel_nofma_x": round(int_ops / seconds / vp, 3)
         if int_ops else 0.0,
         "hbm_frac": round(bytes_moved / seconds / (peaks["hbm_gbps"] * 1e9), 3)
         if bytes_moved else 0.0,

@@ -206,8 +206,11 @@ def quantized_coeffs(result: DesignResult, data_width: int,
     overflow-count tracking)."""
     from ..core.fixedpoint import quantize_coeffs
 
+    if shift is not None and shift < 1:
+        raise ValueError(f"shift must be >= 1, got {shift}")
     q = list(quantize_coeffs(result.coeffs, data_width,
-                             shift or result.suggest_shift()))
+                             result.suggest_shift() if shift is None
+                             else shift))
     w2 = data_width - 2
     amp = (1 << w2) + 1
     peak = q[0]

@@ -387,3 +387,20 @@ class TestPropertyGrid:
             gold += ((-1.0) ** j) * aj * np.cos(
                 2.0 * np.pi * j * n / (1 << pw))
         assert np.max(np.abs(_pair64(hi, lo) - gold)) < 5e-9, coeffs
+
+
+class TestEmptyCompensatedSet:
+    def test_all_below_threshold_raises(self):
+        """A coefficient set with no harmonic above the compensation
+        threshold would give zero-width BlockSpecs and mis-sized tiles;
+        make_checksum_fn_comp must fail loudly instead."""
+        import pytest
+
+        from blackman_harris_win_tpu.kernels.pallas.outerwin_kernel import (
+            make_checksum_fn_comp,
+        )
+
+        # a0 plus harmonics all below DEFAULT_THRESH
+        coeffs = (0.9, 1e-7, 1e-7)
+        with pytest.raises(ValueError, match="compensation threshold"):
+            make_checksum_fn_comp(coeffs, 12, m=7, rows=8, interpret=True)

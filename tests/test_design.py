@@ -204,3 +204,20 @@ class TestQuantizedHandoff:
         assert DesignResult((0.25, 0.55, 0.2), -60.0, 3.0).suggest_shift() == 1
         # unless a coefficient can't fit Q0.(W-1) at all
         assert DesignResult((1.1, -0.2, 0.1), -20.0, 3.0).suggest_shift() == 2
+
+
+class TestQuantizedShiftValidation:
+    def test_explicit_shift_zero_rejected(self):
+        """shift=0 must raise, not silently fall back to the catalog rule
+        (the old `shift or suggest_shift()` treated 0 as falsy)."""
+        from blackman_harris_win_tpu.windows.design import (
+            design_min_sidelobe, quantized_coeffs,
+        )
+
+        r = design_min_sidelobe(4)
+        with pytest.raises(ValueError, match="shift"):
+            quantized_coeffs(r, 17, shift=0)
+        # None still means "use the catalog rule"
+        q_none = quantized_coeffs(r, 17, shift=None)
+        q_rule = quantized_coeffs(r, 17, shift=r.suggest_shift())
+        assert q_none == q_rule

@@ -335,3 +335,84 @@ class TestInKernelReduceTaylor:
             make_checksum_fn_taylor(12, 16, 10)
         with pytest.raises(ValueError, match="divide"):
             make_checksum_fn_taylor(14, 16, 10, rows=24)
+
+
+class TestAdvisorRound4Fixes:
+    """Round-5 regression pins for the round-4 advisor findings."""
+
+    def test_traced_unaligned_n0_window_block_correct(self):
+        """A traced (non-int) n0 cannot be alignment-checked, so
+        window_block must take the indexed path — previously it routed
+        through the block kernel unconditionally and an unaligned traced
+        offset returned wrong samples."""
+        import jax
+        import jax.numpy as jnp
+
+        pw, w, ls = 13, 16, 10
+        spec = WindowSpec(pw, w, sin_type="taylor", lut_size=ls,
+                          rounding="hls", overflow="wrap")
+        q = catalog.get("blackman").quantized(w)
+        r1 = 1 << (pw - ls - 2)
+        count = 16 * r1
+
+        @jax.jit
+        def gen(n0):
+            return kw.window_block(n0, count, q, spec)
+
+        for off in (0, 1, r1 - 1):  # aligned and unaligned traced offsets
+            n0 = 4 * r1 + off
+            got = np.asarray(gen(jnp.int32(n0)))
+            want = np.asarray(kw.window_samples(
+                n0 + np.arange(count), q, spec))
+            np.testing.assert_array_equal(got, want, err_msg=f"n0={n0}")
+
+    def _exact_taylor_window(self, n, q, pw, ls, clip):
+        """Exact scalar model of the 3-term taylor-source HLS window at
+        w=32 (python ints; clip=True applies int32 saturation)."""
+        acc = q[0]
+        for k in range(1, len(q)):
+            pwk = pw - (k - 1)
+            c, _ = golden.taylor_sincos(n & ((1 << pwk) - 1), pwk, 32, ls)
+            m = (q[k] * c) >> 31
+            acc = acc - m if k % 2 == 1 else acc + m
+        if clip:
+            return max(-(1 << 31), min((1 << 31) - 1, acc))
+        return ((acc + (1 << 31)) % (1 << 32)) - (1 << 31)
+
+    def test_w32_saturate_tracking_block_kernel(self):
+        """taylor_window_block at w=32 with overflow='saturate' must clamp
+        via overflow tracking (the int32 accumulator IS the W-bit register;
+        a plain clip after the wrap is a no-op)."""
+        pw, ls = 12, 9
+        # deliberately overflowing set: peak ~ q0+q1+q2 > 2^31-1
+        q = (900_000_000, 900_000_000, 500_000_000)
+        r1 = 1 << (pw - ls - 2)
+        n0, count = (1 << (pw - 1)) - 32 * r1, 64 * r1  # spans the peak
+        sat = WindowSpec(pw, 32, sin_type="taylor", lut_size=ls,
+                         rounding="hls", overflow="saturate")
+        wrp = WindowSpec(pw, 32, sin_type="taylor", lut_size=ls,
+                         rounding="hls", overflow="wrap")
+        got_s = np.asarray(kt.taylor_window_block(n0, count, q, sat))
+        got_w = np.asarray(kt.taylor_window_block(n0, count, q, wrp))
+        overflowed = False
+        for i in range(count):
+            n = n0 + i
+            es = self._exact_taylor_window(n, q, pw, ls, clip=True)
+            ew = self._exact_taylor_window(n, q, pw, ls, clip=False)
+            assert int(got_s[i]) == es, n
+            assert int(got_w[i]) == ew, n
+            overflowed = overflowed or es != ew
+        assert overflowed  # the sweep actually exercised saturation
+
+    def test_w32_saturate_tracking_window_samples(self):
+        """window_samples' _window_hls on int32 lanes honors w=32 saturate
+        via the same overflow tracking."""
+        pw, ls = 12, 9
+        q = (900_000_000, 900_000_000, 500_000_000)
+        n = (1 << (pw - 1)) + np.arange(-8, 8)
+        sat = WindowSpec(pw, 32, sin_type="taylor", lut_size=ls,
+                         rounding="hls", overflow="saturate")
+        got = np.asarray(kw.window_samples(n, q, sat))
+        for i, ni in enumerate(n):
+            assert int(got[i]) == self._exact_taylor_window(
+                int(ni), q, pw, ls, clip=True), ni
