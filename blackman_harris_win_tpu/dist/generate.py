@@ -130,6 +130,43 @@ def sharded_comp_window(name_or_coeffs, pw: int, mesh: Mesh,
     return fn()
 
 
+def sharded_window_range(coeffs_q, spec: WindowSpec, mesh: Mesh, n0: int,
+                         count: int, axis: str = "blocks"):
+    """Generate the consecutive sub-range [n0, n0+count) of a (possibly
+    beyond-64M) window, sharded over ``axis`` — the streaming building
+    block for window lengths whose *full* period should never materialize
+    anywhere (2^26..2^30; the reference caps at 64M, README.md:2).  Shard i
+    computes [n0 + i*B, n0 + (i+1)*B) closed-form; no communication."""
+    nshards = mesh.shape[axis]
+    if count % nshards:
+        raise ValueError(f"count {count} not divisible by {nshards} shards")
+    block = count // nshards
+    coeffs_q = tuple(int(c) for c in coeffs_q)
+
+    r1 = 1 << max(spec.phase_width - spec.lut_size - 2, 0)
+    if _taylor_fast_ok(coeffs_q, spec, block) and n0 % r1 == 0:
+        from ..kernels.taylor import taylor_window_range
+
+        def shard_fn():
+            i = jax.lax.axis_index(axis)
+            return taylor_window_range(n0 + i * block, block, coeffs_q, spec)
+    else:
+        def shard_fn():
+            i = jax.lax.axis_index(axis)
+            n = n0 + i * block + jnp.arange(block, dtype=jnp.int32)
+            return window_samples(n, coeffs_q, spec)
+
+    fn = jax.jit(
+        shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(),
+            out_specs=P(axis),
+        )
+    )
+    return fn()
+
+
 def window_shard_fn(coeffs_q, spec: WindowSpec, axis: str, block: int):
     """The per-shard generator for use *inside* a larger shard_mapped step:
     returns this shard's [i*B, (i+1)*B) window block (no communication).

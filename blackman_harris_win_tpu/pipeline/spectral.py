@@ -73,16 +73,53 @@ def frames_view(x, nfft: int, hop: int):
     return x[..., idx]
 
 
-def welch_power(x, win, nfft: int, hop: int):
+def welch_power(x, win, nfft: int, hop: int, fft_mode: str = "rfft"):
     """Single-device Welch periodogram: mean |rfft(frame * win)|^2 over
-    frames.  x: (..., T) float; win: (nfft,) float."""
+    frames.  x: (..., T) float; win: (nfft,) float.
+
+    ``fft_mode="packed"`` runs the classic two-real-frames-per-complex-FFT
+    packing instead of per-frame rFFTs: adjacent frame pairs become one
+    complex64 frame z = f_even + j f_odd, one CFFT per pair, and the two
+    real spectra come back out of conjugate symmetry
+    (F_even(k) = (Z(k) + Z*(-k))/2, F_odd(k) = (Z(k) - Z*(-k))/(2j)) —
+    identical math in exact arithmetic, half as many FFTs when XLA's rFFT
+    does not itself exploit real symmetry.  Only the *summed power* is
+    needed, so the unpack simplifies further: |F_even|^2 + |F_odd|^2
+    = (|Z(k)|^2 + |Z(-k)|^2) / 2 — no complex unpack arithmetic at all,
+    just the power spectrum of Z read forwards and backwards.
+    """
     fr = frames_view(x, nfft, hop) * win
-    spec = jnp.fft.rfft(fr, axis=-1)
-    return jnp.mean(jnp.abs(spec) ** 2, axis=-2)
+    return frame_mean_power(fr, fft_mode)
+
+
+def frame_mean_power(fr, fft_mode: str = "rfft"):
+    """Mean half-spectrum power over windowed frames (..., nF, nfft) ->
+    (..., nfft//2+1); the FFT stage shared by every welch/comp path."""
+    if fft_mode == "rfft":
+        spec = jnp.fft.rfft(fr, axis=-1)
+        return jnp.mean(jnp.abs(spec) ** 2, axis=-2)
+    if fft_mode != "packed":
+        raise ValueError("fft_mode must be 'rfft' or 'packed'")
+    nfft = fr.shape[-1]
+    nf = fr.shape[-2]
+    if nf % 2:  # pad one zero frame; it adds nothing to the power sum
+        pad = [(0, 0)] * (fr.ndim - 2) + [(0, 1), (0, 0)]
+        fr = jnp.pad(fr, pad)
+    z = jax.lax.complex(fr[..., 0::2, :], fr[..., 1::2, :])
+    zf = jnp.fft.fft(z, axis=-1)
+    p = jnp.abs(zf) ** 2  # (..., nF/2, nfft)
+    k = nfft // 2 + 1
+    # |Z(-k)|^2 for k = 0..nfft/2 is p reversed with the k=0 bin fixed
+    p_rev = jnp.concatenate(
+        [p[..., :1], jnp.flip(p[..., 1:], axis=-1)], axis=-1
+    )
+    ps = 0.5 * (p[..., :k] + p_rev[..., :k])
+    return jnp.sum(ps, axis=-2) / nf
 
 
 def windowed_power_spectrum(x, name_or_coeffs, spec: WindowSpec, hop=None,
-                            win_mode: str = "quantized"):
+                            win_mode: str = "quantized",
+                            fft_mode: str = "rfft"):
     """Convenience single-chip analyzer: window generated on the fly,
     applied, Welch-averaged.  nfft = spec.n.
 
@@ -102,7 +139,7 @@ def windowed_power_spectrum(x, name_or_coeffs, spec: WindowSpec, hop=None,
 
         win = float_window(_check_float_window_arg(name_or_coeffs),
                            spec.phase_width)
-        return welch_power(x, win, nfft, hop)
+        return welch_power(x, win, nfft, hop, fft_mode)
     if win_mode == "comp":
         # compensated-f32 raw pair applied as two FMAs per sample: the
         # frames see the window at ~2^-31 accuracy (kernels/compwin.py)
@@ -111,8 +148,7 @@ def windowed_power_spectrum(x, name_or_coeffs, spec: WindowSpec, hop=None,
         whi, wlo = comp_window_pair(_check_float_window_arg(name_or_coeffs),
                                     spec.phase_width)
         fr = frames_view(x, nfft, hop)
-        sp = jnp.fft.rfft(fr * whi + fr * wlo, axis=-1)
-        return jnp.mean(jnp.abs(sp) ** 2, axis=-2)
+        return frame_mean_power(fr * whi + fr * wlo, fft_mode)
     if win_mode != "quantized":
         raise ValueError("win_mode must be 'quantized', 'float' or 'comp'")
     if isinstance(name_or_coeffs, str):
@@ -122,7 +158,7 @@ def windowed_power_spectrum(x, name_or_coeffs, spec: WindowSpec, hop=None,
         coeffs_q, shift = tuple(name_or_coeffs), 1
     wq = window_samples(jnp.arange(nfft), coeffs_q, spec)
     win = wq.astype(jnp.float32) * window_scale(spec, shift)
-    return welch_power(x, win, nfft, hop)
+    return welch_power(x, win, nfft, hop, fft_mode)
 
 
 def make_sharded_welch(
@@ -133,6 +169,7 @@ def make_sharded_welch(
     nfft: int,
     hop: int,
     win_mode: str = "quantized",
+    fft_mode: str = "rfft",
 ):
     """Build the sharded analyzer step.
 
@@ -190,10 +227,9 @@ def make_sharded_welch(
         if isinstance(win, tuple):  # compensated (hi, lo) pair
             whi, wlo = win
             fr = frames_view(xh, nfft, hop)
-            sp = jnp.fft.rfft(fr * whi + fr * wlo, axis=-1)
-            p = jnp.mean(jnp.abs(sp) ** 2, axis=-2)
+            p = frame_mean_power(fr * whi + fr * wlo, fft_mode)
         else:
-            p = welch_power(xh, win, nfft, hop)  # frames in this shard
+            p = welch_power(xh, win, nfft, hop, fft_mode)  # this shard's frames
         return lax.pmean(p, "blocks")
 
     return shard_map(

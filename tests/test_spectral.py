@@ -167,6 +167,117 @@ class TestDryrunMultichip:
         import __graft_entry__ as g
 
         fn, args = g.entry()
-        out = jax.jit(fn)(*args)
+        out, wide_sum = jax.jit(fn)(*args)
         assert out.shape[-1] == 2049
         assert bool(jnp.all(jnp.isfinite(out)))
+        # the wide-datapath tile (W=32 BH-7 RTL) checksum must match the
+        # golden model's sum over the same indices
+        from blackman_harris_win_tpu.core.config import WindowSpec
+        from blackman_harris_win_tpu.kernels.window import rtl_cordic_coeffs
+        from blackman_harris_win_tpu.model import golden
+        from blackman_harris_win_tpu.windows import catalog
+
+        q32 = rtl_cordic_coeffs(catalog.get("bh7").quantized(32))
+        want = sum(
+            golden.win_cosine_sum_rtl(n, q32, 26, 32) for n in range(2048)
+        )
+        want = ((want + (1 << 31)) % (1 << 32)) - (1 << 31)  # int32 sum wrap
+        assert int(wide_sum) == want
+
+
+class TestPackedFft:
+    """Round-5 FFT-wall work: the two-real-frames-per-complex-FFT packing
+    (welch_power fft_mode='packed') must agree with the rFFT path to f32
+    accuracy in every win_mode, odd and even frame counts."""
+
+    def _x(self, c, t, seed=0):
+        return np.random.default_rng(seed).normal(size=(c, t)).astype(
+            np.float32)
+
+    @pytest.mark.parametrize("nframes", [4, 5])  # even + odd (zero-pad)
+    def test_packed_matches_rfft(self, nframes):
+        from blackman_harris_win_tpu.pipeline.spectral import welch_power
+
+        nfft, hop = 256, 128
+        t = hop * (nframes - 1) + nfft
+        x = self._x(2, t)
+        win = np.hanning(nfft).astype(np.float32)
+        a = np.asarray(welch_power(x, win, nfft, hop, "rfft"), np.float64)
+        b = np.asarray(welch_power(x, win, nfft, hop, "packed"), np.float64)
+        rel = np.max(np.abs(a - b) / (np.abs(a) + 1e-300))
+        assert rel < 1e-5, rel
+
+    def test_packed_exact_vs_f64_host(self):
+        """Both modes against the exact f64 periodogram — the packing is
+        identical math, not an approximation."""
+        from blackman_harris_win_tpu.pipeline.spectral import (
+            frames_view, welch_power,
+        )
+
+        nfft, hop = 128, 64
+        t = 8 * hop + nfft - hop
+        x = self._x(1, t, seed=3)
+        win = np.hanning(nfft).astype(np.float32)
+        fr = np.asarray(frames_view(jnp.asarray(x), nfft, hop), np.float64)
+        ref = (np.abs(np.fft.rfft(fr * win.astype(np.float64),
+                                  axis=-1)) ** 2).mean(axis=-2)
+        for mode in ("rfft", "packed"):
+            got = np.asarray(welch_power(x, win, nfft, hop, mode),
+                             np.float64)
+            rel = np.max(np.abs(got - ref) / (np.abs(ref) + 1e-300))
+            assert rel < 1e-5, (mode, rel)
+
+    def test_all_win_modes_support_packed(self):
+        from blackman_harris_win_tpu.core.config import WindowSpec
+        from blackman_harris_win_tpu.pipeline.spectral import (
+            windowed_power_spectrum,
+        )
+
+        spec = WindowSpec(8, 17)
+        x = self._x(2, 2048, seed=5)
+        for wm in ("quantized", "float", "comp"):
+            a = np.asarray(windowed_power_spectrum(
+                x, "bh4", spec, win_mode=wm, fft_mode="rfft"), np.float64)
+            b = np.asarray(windowed_power_spectrum(
+                x, "bh4", spec, win_mode=wm, fft_mode="packed"), np.float64)
+            rel = np.max(np.abs(a - b) / (np.abs(a) + 1e-300))
+            assert rel < 1e-5, (wm, rel)
+
+    def test_sharded_welch_packed(self):
+        from blackman_harris_win_tpu.core.config import WindowSpec
+        from blackman_harris_win_tpu.dist.mesh import make_mesh
+        from blackman_harris_win_tpu.pipeline.spectral import (
+            make_sharded_welch, welch_power, window_scale,
+        )
+        from blackman_harris_win_tpu.kernels.window import window_samples
+        from blackman_harris_win_tpu.windows import catalog
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = len(jax.devices())
+        mesh = make_mesh(blocks=n_dev)
+        spec = WindowSpec(7, 17)
+        nfft, hop = 128, 64
+        d = catalog.get("bh4")
+        q = d.quantized(17)
+        x = self._x(2, n_dev * 256, seed=7)
+        xd = jax.device_put(jnp.asarray(x),
+                            NamedSharding(mesh, P(None, "blocks")))
+        step = jax.jit(make_sharded_welch(
+            mesh, spec, q, d.shift, nfft, hop, fft_mode="packed"))
+        got = np.asarray(step(xd), np.float64)
+        # single-device circular-halo reference
+        halo = nfft - hop
+        xe = np.concatenate([x, x[:, :halo]], axis=1)
+        win = np.asarray(window_samples(jnp.arange(nfft), q, spec),
+                         np.float64) * window_scale(spec, d.shift)
+        want = np.asarray(welch_power(
+            jnp.asarray(xe), win.astype(np.float32), nfft, hop), np.float64)
+        rel = np.max(np.abs(got - want) / (np.abs(want) + 1e-300))
+        assert rel < 1e-5, rel
+
+    def test_bad_fft_mode(self):
+        from blackman_harris_win_tpu.pipeline.spectral import welch_power
+
+        with pytest.raises(ValueError, match="fft_mode"):
+            welch_power(np.zeros((1, 512), np.float32),
+                        np.ones(128, np.float32), 128, 64, "fast")
