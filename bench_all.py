@@ -188,6 +188,46 @@ def main():
                 **roofline_fields(t, bytes_moved=52 * T)})
     _emit(out)
 
+    # --- config 4b: the same analyzer with the round-5 FFT-wall work —
+    #     amortized (4 reps in-dispatch; the ~27 ms tunnel dispatch floor
+    #     is floor-scale for this payload) and both FFT backends
+    #     interleaved: XLA rfft vs the MXU matmul-DFT bypass
+    #     (fft_mode="mxu": packed frame pairs + mixed-radix (128,128,64)
+    #     matmul stages; XLA's own FFT measures ~3% of the single-pass
+    #     HBM bound at every shape, BENCH_NOTES round 5) ---
+    def make_amort(mode):
+        @jax.jit
+        def run(xv):
+            def body(acc, i):
+                xr = jnp.roll(xv, i)  # defeat CSE across reps
+                wq = window_values(
+                    jnp.arange(nfft, dtype=jnp.int32), q2, spec4)
+                w = wq.astype(jnp.float32) * jnp.float32(sc)
+                return acc + jnp.sum(welch_power(xr, w, nfft, hop, mode)), None
+
+            s_, _ = jax.lax.scan(body, jnp.float32(0),
+                                 jnp.arange(4, dtype=jnp.int32))
+            return s_
+
+        return run
+
+    an_r, an_m = make_amort("rfft"), make_amort("mxu")
+    # agreement gate (identical math; f32 rounding differs)
+    vr, vm = float(an_r(x)), float(an_m(x))
+    assert abs(vr - vm) / abs(vr) < 1e-5, (vr, vm)
+    ts_r, ts_m = [], []
+    for _ in range(3):  # interleaved
+        ts_r.append(_sync_time(lambda: an_r(x)) / 4)
+        ts_m.append(_sync_time(lambda: an_m(x)) / 4)
+    tr, tm = float(np.median(ts_r)), float(np.median(ts_m))
+    out.append({"metric": "welch_bh4_1Mfft_amortized_rfft",
+                "value": round(T / tr / 1e6, 1), "unit": "Msamples/s_in"})
+    _emit(out)
+    out.append({"metric": "welch_bh4_1Mfft_amortized_mxu",
+                "value": round(T / tm / 1e6, 1), "unit": "Msamples/s_in",
+                "speedup_vs_rfft": round(tr / tm, 3)})
+    _emit(out)
+
     # --- config 5: SDR chain throughput (16-ch channelizer + discriminator) ---
     from blackman_harris_win_tpu.pipeline.channelizer import design_prototype
     from blackman_harris_win_tpu.pipeline.sdr import sdr_chain

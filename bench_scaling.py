@@ -23,7 +23,8 @@ import argparse
 import json
 
 
-def run(counts, pw_per_device, nfft, hop, frames_per_device, reps):
+def run(counts, pw_per_device, nfft, hop, frames_per_device, reps,
+        floor_probe=False):
     import jax
     import jax.numpy as jnp
     from jax import shard_map
@@ -38,7 +39,7 @@ def run(counts, pw_per_device, nfft, hop, frames_per_device, reps):
 
     d4 = catalog.get("bh4")
     q4 = d4.quantized(17)
-    gen_t, welch_t = {}, {}
+    gen_t, welch_t, floor_t = {}, {}, {}
 
     for n in counts:
         if n & (n - 1):
@@ -73,6 +74,22 @@ def run(counts, pw_per_device, nfft, hop, frames_per_device, reps):
         x = make_x(jax.random.PRNGKey(0))
         welch_t[n] = host_synced_seconds(stepsum, x, reps=reps)
 
+        if floor_probe:
+            # dispatch floor at this device count: the identical sharded
+            # gen program at trivial per-device work (2^6 samples) — what a
+            # zero-work dispatch through jit + shard_map + sync costs
+            fspec = WindowSpec(6 + (n.bit_length() - 1), 17)
+            fgen = jax.jit(
+                shard_map(
+                    window_shard_fn(q4, fspec, "blocks", fspec.n // n),
+                    mesh=mesh,
+                    in_specs=(),
+                    out_specs=P("blocks"),
+                )
+            )
+            floor_t[n] = host_synced_seconds(
+                lambda: jnp.sum(fgen()), reps=reps)
+
     base = counts[0]
     gen_eff = {n: round(gen_t[base] / gen_t[n], 3) for n in counts}
     welch_eff = {n: round(welch_t[base] / welch_t[n], 3) for n in counts}
@@ -86,6 +103,9 @@ def run(counts, pw_per_device, nfft, hop, frames_per_device, reps):
         "welch_seconds": {n: round(t, 4) for n, t in welch_t.items()},
         "gen_efficiency": gen_eff,
         "welch_efficiency": welch_eff,
+        **({"dispatch_floor_seconds":
+            {n: round(t, 4) for n, t in floor_t.items()}}
+           if floor_t else {}),
     }
 
 

@@ -62,7 +62,7 @@ def _use_i32(internal_bits: int, pw: int, w: int) -> bool:
         internal_bits > 32
         and not _jax.config.read("jax_enable_x64")
         and w <= 32
-        and pw <= 30
+        and pw <= 31
     )
 
 

@@ -142,10 +142,18 @@ def _wrap_w(v, w: int):
 
 
 def _phase_front(phase, pw: int):
-    if pw > 30:
-        raise ValueError("int32-lane CORDIC supports phase_width <= 30")
+    if pw > 31:
+        # pw == 32 would need logical (unsigned) shifts on the quadrant
+        # extraction; the practical int32-lane ceiling is 2^31 points
+        raise ValueError("int32-lane CORDIC supports phase_width <= 31")
     un = jnp.asarray(phase, jnp.int32) & ((1 << pw) - 1)
     return un, un >> (pw - 2)
+
+
+def _signed_phase(un, pw: int):
+    """sphi = un - 2^pw for the upper half-period, else un — written so the
+    2^pw constant never overflows the int32 weak type at pw == 31."""
+    return jnp.where((un >> (pw - 1)) != 0, un + jnp.int32(-(1 << pw)), un)
 
 
 # ---------------------------------------------------------------------------
@@ -161,7 +169,7 @@ def _cordic_prerotated_i32(phase, pw: int, w: int, size: int, dwph: int,
     xo, zo = _lane(size), _lane(dwph)
     un, q = _phase_front(phase, pw)
     low = un & ((1 << (pw - 2)) - 1)
-    sphi = jnp.where((un >> (pw - 1)) != 0, un - (1 << pw), un)
+    sphi = _signed_phase(un, pw)
     q03 = (q == 0) | (q == 3)
     init_t = jnp.where(q03, sphi,
                        jnp.where(q == 1, low, low - (1 << (pw - 2))))
@@ -256,8 +264,8 @@ def _cos_sin_dds_r2s(phase, pw: int, w: int, p: int):
     s = iw - 32
     if s not in (1, 2):
         raise ValueError("radix-2^s dds path requires w + p in {33, 34}")
-    if pw > 30:
-        raise ValueError("int32-lane CORDIC supports phase_width <= 30")
+    if pw > 31:
+        raise ValueError("int32-lane CORDIC supports phase_width <= 31")
     ms = (1 << s) - 1
     luts = [LUT_ATAN_PI[i] >> (49 - w - p) for i in range(w - 1)]
     gain = GAIN48_HALF >> (49 - w - p)
@@ -430,7 +438,7 @@ def cordic_hls_i32(phase, pw: int, w: int):
     gain = o.const(GAIN48_QUARTER >> (46 - w))
 
     un, q = _phase_front(phase, pw)
-    sphi = jnp.where((un >> (pw - 1)) != 0, un - (1 << pw), un)
+    sphi = _signed_phase(un, pw)
     init_t = sphi & ~(0x3 << (pw - 2))
     if pw - 1 < w:
         z = o.shl_wrap(o.lift(init_t), w - pw + 2)

@@ -38,10 +38,14 @@ def _quadrant_and_z0(n, pw: int, w: int):
     """Shared phase front-end: quadrant bits and the things init_z is built
     from.  n: int32 sample indices (non-negative, any value; reduced mod
     2^pw)."""
+    if pw > 31:
+        raise ValueError("int32-lane window kernels support phase_width <= 31")
     mask = (1 << pw) - 1
     un = n & mask
     q = un >> (pw - 2)
-    sphi = jnp.where(un >> (pw - 1) != 0, un - (1 << pw), un)
+    # + int32(-2^pw) instead of - (1 << pw): the constant must not
+    # overflow the int32 weak type at pw == 31
+    sphi = jnp.where(un >> (pw - 1) != 0, un + jnp.int32(-(1 << pw)), un)
     init_t = sphi & ~(0x3 << (pw - 2))
     return q, init_t
 

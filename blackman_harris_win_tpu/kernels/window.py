@@ -95,7 +95,7 @@ def window_samples(n, coeffs_q, spec: WindowSpec):
             spec.sin_type == "cordic"
             and not jax.config.read("jax_enable_x64")
             and w <= 32
-            and pw <= 30  # (k*n) int32 overflow is exact under the 2^pw mask
+            and pw <= 31  # (k*n) int32 wrap is exact under the 2^pw mask
         ):
             amax = max(abs(int(c)) for c in coeffs_q)
             if max(amax.bit_length() + (w - 2) + 1, w + 3) > 32:
@@ -109,7 +109,7 @@ def window_samples(n, coeffs_q, spec: WindowSpec):
         spec.sin_type in ("cordic", "taylor")
         and not jax.config.read("jax_enable_x64")
         and w <= 32
-        and pw <= 30  # (k*n) int32 overflow is exact under the 2^pw mask
+        and pw <= 31  # (k*n) int32 wrap is exact under the 2^pw mask
     ):
         amax = max(abs(int(c)) for c in coeffs_q)
         cos_bits = (w - 2) if spec.sin_type == "cordic" else (w - 1)
@@ -155,8 +155,15 @@ def _window_hls(n, coeffs_q, spec: WindowSpec):
     i32_prod = _i32_products_ok(prod_bits, w)
     pdt = jnp.int32 if i32_prod else _int_lane(max(prod_bits, w + 1))
 
-    phase_dt = _int_lane(pw + 3)
-    n = jnp.asarray(n, phase_dt)
+    # Phase lane: int64 when available gives headroom for the k*n
+    # products; on int32-only backends the ring wrap (mod 2^32) makes the
+    # masked phase exact for pw <= 31 (2^pw | 2^32), so int32 suffices.
+    if jax.config.read("jax_enable_x64"):
+        n = jnp.asarray(n, _int_lane(pw + 3))
+    elif pw <= 31:
+        n = jnp.asarray(n, jnp.int32)
+    else:
+        raise ValueError("int32-lane windows support phase_width <= 31")
 
     acc = jnp.full(n.shape, int(coeffs_q[0]), pdt)
     # w == 32 saturate on int32 lanes: the accumulator IS the W-bit
@@ -217,8 +224,15 @@ def _window_rtl(n, coeffs_q, spec: WindowSpec):
     nb = jnp.iinfo(pdt).bits
     wrap = lambda v, width: (v << (nb - width)) >> (nb - width)
 
-    phase_dt = _int_lane(pw + 3)
-    n = jnp.asarray(n, phase_dt)
+    # Phase lane: int64 when available gives headroom for the k*n
+    # products; on int32-only backends the ring wrap (mod 2^32) makes the
+    # masked phase exact for pw <= 31 (2^pw | 2^32), so int32 suffices.
+    if jax.config.read("jax_enable_x64"):
+        n = jnp.asarray(n, _int_lane(pw + 3))
+    elif pw <= 31:
+        n = jnp.asarray(n, jnp.int32)
+    else:
+        raise ValueError("int32-lane windows support phase_width <= 31")
 
     bs = []
     for k in range(1, nterms):

@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from functools import partial
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -94,12 +96,23 @@ def welch_power(x, win, nfft: int, hop: int, fft_mode: str = "rfft"):
 
 def frame_mean_power(fr, fft_mode: str = "rfft"):
     """Mean half-spectrum power over windowed frames (..., nF, nfft) ->
-    (..., nfft//2+1); the FFT stage shared by every welch/comp path."""
+    (..., nfft//2+1); the FFT stage shared by every welch/comp path.
+
+    ``fft_mode="mxu"`` bypasses XLA's FFT entirely: packed complex frame
+    pairs go through mixed-radix Cooley-Tukey stages whose small DFTs are
+    MXU **matmuls** (radices <= 128, f64-host-exact twiddle tables,
+    ``Precision.HIGHEST``).  Measured round 5 (BENCH_NOTES): XLA's FFT
+    runs at ~3% of the single-pass HBM bound at every shape, so the
+    matmul bypass is 1.30x the rfft path on the config-4 analyzer
+    (2.17 vs 1.67 Gsamp/s amortized).  Requires power-of-two nfft >= 256.
+    """
     if fft_mode == "rfft":
         spec = jnp.fft.rfft(fr, axis=-1)
         return jnp.mean(jnp.abs(spec) ** 2, axis=-2)
+    if fft_mode == "mxu":
+        return _mxu_packed_mean_power(fr)
     if fft_mode != "packed":
-        raise ValueError("fft_mode must be 'rfft' or 'packed'")
+        raise ValueError("fft_mode must be 'rfft', 'packed' or 'mxu'")
     nfft = fr.shape[-1]
     nf = fr.shape[-2]
     if nf % 2:  # pad one zero frame; it adds nothing to the power sum
@@ -115,6 +128,135 @@ def frame_mean_power(fr, fft_mode: str = "rfft"):
     )
     ps = 0.5 * (p[..., :k] + p_rev[..., :k])
     return jnp.sum(ps, axis=-2) / nf
+
+
+def _mxu_radices(nfft: int) -> tuple[int, ...]:
+    """Factor a power-of-two nfft into MXU-friendly DFT radices: the
+    fewest stages with every radix <= 128, split as evenly as possible
+    (measured on chip: (128, 128, 64) is the 1M optimum; four stages of
+    32 lose ~6%, two stages of 1024 lose ~12%)."""
+    if nfft < 256 or nfft & (nfft - 1):
+        raise ValueError(
+            "fft_mode='mxu' needs a power-of-two nfft >= 256 "
+            f"(got {nfft}); use 'rfft' or 'packed'"
+        )
+    k = nfft.bit_length() - 1
+    s = -(-k // 7)  # ceil: minimum stages with radix <= 2^7
+    base, extra = divmod(k, s)
+    return tuple(1 << (base + (1 if i < extra else 0)) for i in range(s))
+
+
+def _dft_tables(nfft: int):
+    """Host-f64-exact DFT matrices and inter-stage twiddles for
+    :func:`_mxu_radices`, as (real, imag) f32 numpy pairs."""
+    radices = _mxu_radices(nfft)
+    mats, tws = [], []
+    for s_i, r in enumerate(radices):
+        k = np.arange(r)
+        ang = -2.0 * np.pi * (k[:, None] * k[None, :] % r) / r
+        mats.append((np.cos(ang).astype(np.float32),
+                     np.sin(ang).astype(np.float32)))
+        if s_i < len(radices) - 1:
+            nt = 1
+            for rr in radices[s_i:]:
+                nt *= rr
+            rest = nt // r
+            ii, jj = np.arange(r), np.arange(rest)
+            ang = -2.0 * np.pi * (ii[:, None] * jj[None, :] % nt) / nt
+            tws.append((np.cos(ang).astype(np.float32),
+                        np.sin(ang).astype(np.float32)))
+    return radices, mats, tws
+
+
+def _mxu_packed_mean_power(fr):
+    """The fft_mode="mxu" body: two real frames per complex input, matmul
+    DFT stages, power-only unpack via conjugate symmetry."""
+    nfft = fr.shape[-1]
+    nf = fr.shape[-2]
+    radices, mats_np, tws_np = _dft_tables(nfft)
+    mats = [tuple(jnp.asarray(v) for v in m) for m in mats_np]
+    tws = [tuple(jnp.asarray(v) for v in t) for t in tws_np]
+    hi = lax.Precision.HIGHEST
+
+    if nf % 2:
+        pad = [(0, 0)] * (fr.ndim - 2) + [(0, 1), (0, 0)]
+        fr = jnp.pad(fr, pad)
+    lead = fr.shape[:-2]
+    npair = fr.shape[-2] // 2
+    xr = fr[..., 0::2, :].reshape(lead + (npair,) + radices)
+    xi = fr[..., 1::2, :].reshape(lead + (npair,) + radices)
+    nlead = len(lead) + 1
+
+    ns = len(radices)
+    for s_i, r in enumerate(radices):
+        mr, mi = mats[s_i]
+        ax = nlead + s_i
+        yr = (jnp.tensordot(xr, mr, axes=[[ax], [1]], precision=hi)
+              - jnp.tensordot(xi, mi, axes=[[ax], [1]], precision=hi))
+        yi = (jnp.tensordot(xr, mi, axes=[[ax], [1]], precision=hi)
+              + jnp.tensordot(xi, mr, axes=[[ax], [1]], precision=hi))
+        # tensordot appends the contracted-output axis; restore position
+        perm = list(range(xr.ndim - 1))
+        perm.insert(ax, xr.ndim - 1)
+        xr = jnp.transpose(yr, perm)
+        xi = jnp.transpose(yi, perm)
+        if s_i < ns - 1:
+            twr, twi = tws[s_i]
+            rest = 1
+            for rr in radices[s_i + 1:]:
+                rest *= rr
+            shape = (1,) * (nlead + s_i) + (r, rest)
+            a = xr.reshape(xr.shape[: nlead + s_i] + (r, rest))
+            b = xi.reshape(xi.shape[: nlead + s_i] + (r, rest))
+            a, b = (a * twr.reshape(shape) - b * twi.reshape(shape),
+                    a * twi.reshape(shape) + b * twr.reshape(shape))
+            xr = a.reshape(xr.shape)
+            xi = b.reshape(xi.shape)
+
+    p = jnp.sum(xr * xr + xi * xi, axis=nlead - 1)  # sum over frame pairs
+    # axes now lead + (k_0, .., k_{ns-1}) with bin k = k_0 + r_0*k_1 + ..:
+    # natural bin order = transpose to reversed radix axes, flatten
+    nl = len(lead)
+    perm = tuple(range(nl)) + tuple(nl + i for i in reversed(range(ns)))
+    pk = jnp.transpose(p, perm).reshape(lead + (nfft,))
+    k = nfft // 2 + 1
+    pk_rev = jnp.concatenate(
+        [pk[..., :1], jnp.flip(pk[..., 1:], axis=-1)], axis=-1
+    )
+    ps = 0.5 * (pk[..., :k] + pk_rev[..., :k])
+    return ps / nf
+
+
+def rfft_power_split(x):
+    """``|rfft(x)|**2`` computed through ONE half-length complex FFT.
+
+    The classic even/odd split: z[m] = x[2m] + j x[2m+1] (length N/2),
+    Z = fft(z); then with E(k) = (Z(k) + Z*(-k))/2 and
+    O(k) = (Z(k) - Z*(-k))/(2j), the real spectrum is
+    X(k) = E(k) + e^{-2 pi j k / N} O(k) for k = 0..N/2 (Nyquist bin:
+    E(0) - O(0)).  Useful when the backend's rfft does not itself exploit
+    real symmetry — the FFT work halves and the unpack is O(N)
+    elementwise.  f32 twiddles: bin error ~2e-7 relative (the angle
+    pi*k/(N/2) carries k/(N/2) at f32 precision), comparable to the f32
+    FFT's own rounding — fine for power spectra, not for phase-critical
+    use.  x: (..., N) float32, N even; returns (..., N//2+1) f32.
+    """
+    n = x.shape[-1]
+    if n % 2:
+        raise ValueError("rfft_power_split needs an even length")
+    m = n // 2
+    z = jax.lax.complex(x[..., 0::2], x[..., 1::2])
+    zf = jnp.fft.fft(z, axis=-1)
+    zrc = jnp.conj(jnp.concatenate(
+        [zf[..., :1], jnp.flip(zf[..., 1:], axis=-1)], axis=-1))  # Z*(-k)
+    e = 0.5 * (zf + zrc)
+    o = -0.5j * (zf - zrc)
+    ang = jnp.float32(np.pi) * (
+        jnp.arange(m, dtype=jnp.float32) / jnp.float32(m))
+    tw = jax.lax.complex(jnp.cos(ang), -jnp.sin(ang))
+    p = jnp.abs(e + tw * o) ** 2  # k = 0..m-1
+    pny = jnp.abs(e[..., :1] - o[..., :1]) ** 2  # Nyquist bin
+    return jnp.concatenate([p, pny], axis=-1)
 
 
 def windowed_power_spectrum(x, name_or_coeffs, spec: WindowSpec, hop=None,

@@ -281,3 +281,77 @@ class TestPackedFft:
         with pytest.raises(ValueError, match="fft_mode"):
             welch_power(np.zeros((1, 512), np.float32),
                         np.ones(128, np.float32), 128, 64, "fast")
+
+
+class TestRfftPowerSplit:
+    def test_matches_rfft_power(self):
+        from blackman_harris_win_tpu.pipeline.spectral import rfft_power_split
+
+        rng = np.random.default_rng(11)
+        for n in (128, 4096):
+            x = rng.normal(size=(3, n)).astype(np.float32)
+            got = np.asarray(rfft_power_split(jnp.asarray(x)), np.float64)
+            ref = np.abs(np.fft.rfft(x.astype(np.float64), axis=-1)) ** 2
+            rel = np.max(np.abs(got - ref) / (ref.max() + 1e-300))
+            assert rel < 2e-6, (n, rel)
+
+    def test_odd_length_rejected(self):
+        from blackman_harris_win_tpu.pipeline.spectral import rfft_power_split
+
+        with pytest.raises(ValueError, match="even"):
+            rfft_power_split(np.zeros(127, np.float32))
+
+
+class TestMxuFft:
+    """fft_mode='mxu': mixed-radix MXU-matmul DFT stages (the round-5
+    FFT-wall bypass, 1.30x the rfft analyzer on chip — BENCH_NOTES)."""
+
+    @pytest.mark.parametrize("nfft", [256, 512, 1024, 4096])
+    def test_matches_rfft(self, nfft):
+        from blackman_harris_win_tpu.pipeline.spectral import welch_power
+
+        hop = nfft // 2
+        t = hop * 6 + nfft - hop
+        x = np.random.default_rng(2).normal(size=(2, t)).astype(np.float32)
+        win = np.hanning(nfft).astype(np.float32)
+        a = np.asarray(welch_power(x, win, nfft, hop, "rfft"), np.float64)
+        b = np.asarray(welch_power(x, win, nfft, hop, "mxu"), np.float64)
+        rel = np.max(np.abs(a - b) / (np.abs(a).max() + 1e-300))
+        assert rel < 2e-6, (nfft, rel)
+
+    def test_radix_plan(self):
+        from blackman_harris_win_tpu.pipeline.spectral import _mxu_radices
+
+        assert _mxu_radices(1 << 20) == (128, 128, 64)
+        assert _mxu_radices(4096) == (64, 64)
+        assert _mxu_radices(512) == (32, 16)
+        for n in (256, 512, 1024, 1 << 14, 1 << 20):
+            r = _mxu_radices(n)
+            prod = 1
+            for v in r:
+                prod *= v
+            assert prod == n, (n, r)
+
+    def test_guards(self):
+        from blackman_harris_win_tpu.pipeline.spectral import _mxu_radices
+
+        with pytest.raises(ValueError, match="mxu"):
+            _mxu_radices(128)
+        with pytest.raises(ValueError, match="mxu"):
+            _mxu_radices(3000)
+
+    def test_through_windowed_power_spectrum(self):
+        from blackman_harris_win_tpu.core.config import WindowSpec
+        from blackman_harris_win_tpu.pipeline.spectral import (
+            windowed_power_spectrum,
+        )
+
+        spec = WindowSpec(9, 17)  # nfft = 512
+        x = np.random.default_rng(4).normal(size=(2, 2048)).astype(
+            np.float32)
+        a = np.asarray(windowed_power_spectrum(
+            x, "bh4", spec, fft_mode="rfft"), np.float64)
+        b = np.asarray(windowed_power_spectrum(
+            x, "bh4", spec, fft_mode="mxu"), np.float64)
+        rel = np.max(np.abs(a - b) / (np.abs(a).max() + 1e-300))
+        assert rel < 2e-6, rel

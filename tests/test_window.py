@@ -336,3 +336,89 @@ class TestBeyond64M:
             jnp.int32(n0), 1, "bh7", pw))()
         pair = np.asarray(h, np.float64) + np.asarray(l, np.float64)
         assert np.max(np.abs(pair - gold)) < 5e-9
+
+
+class TestPw31Ceiling:
+    """Round 5 (VERDICT r4 item 7): the int32-lane phase ceiling lifted
+    from 2^30 to 2^31 (2G points, 32x the reference's 64M).  (k*n) wraps
+    mod 2^32 and 2^pw | 2^32, so the masked phase is exact; the only pw=31
+    subtlety is the signed-phase constant (un - 2^31 must be built as
+    un + int32(-2^31)).  pw=32 fails loudly."""
+
+    def _spots(self, pw):
+        # quadrant seams + period edges, all within int32
+        qs = 1 << (pw - 2)
+        pts = []
+        for base in (0, qs, 2 * qs, 3 * qs, (1 << pw) - 8):
+            pts.extend(range(max(0, base - 4), min(1 << pw, base + 4)))
+        return np.array(sorted(set(pts)), np.int64)
+
+    def test_pw31_hls_kernel_bit_exact(self):
+        import jax
+        import jax.numpy as jnp
+
+        from blackman_harris_win_tpu.kernels.pallas.window_kernel import (
+            window_values,
+        )
+
+        pw = 31
+        q = catalog.get("bh7").quantized(32)
+        spec = WindowSpec(pw, 32, overflow="wrap")
+        n = self._spots(pw)
+        got = np.asarray(jax.jit(lambda: window_values(
+            jnp.asarray(n, jnp.int32), q, spec))()).astype(np.int64)
+        for i, ni in enumerate(n):
+            want = golden.win_cosine_sum_hls(int(ni), q, pw, 32)
+            assert int(got[i]) == want, ni
+
+    def test_pw31_rtl_kernel_bit_exact(self):
+        import jax
+        import jax.numpy as jnp
+
+        from blackman_harris_win_tpu.kernels.pallas.window_kernel import (
+            window_values_rtl,
+        )
+
+        pw = 31
+        q = kw.rtl_cordic_coeffs(catalog.get("bh4").quantized(17))
+        spec = WindowSpec(pw, 17, rounding="rtl", overflow="wrap")
+        n = self._spots(pw)
+        got = np.asarray(jax.jit(lambda: window_values_rtl(
+            jnp.asarray(n, jnp.int32), q, spec))()).astype(np.int64)
+        for i, ni in enumerate(n):
+            want = golden.win_cosine_sum_rtl(int(ni), q, pw, 17)
+            assert int(got[i]) == want, ni
+
+    def test_pw31_cordic_engines_bit_exact(self):
+        from blackman_harris_win_tpu.kernels.pallas.cordic_wide import (
+            cordic_dds48_i32,
+            cordic_hls_i32,
+        )
+
+        pw = 31
+        n = self._spots(pw)
+        c, s = cordic_hls_i32(n.astype(np.int32), pw, 24)
+        for i, ni in enumerate(n):
+            gc, gs = golden.cordic_hls(int(ni), pw, 24)
+            assert int(c[i]) == gc and int(s[i]) == gs, ni
+        c, s = cordic_dds48_i32(n.astype(np.int32), pw, 20)
+        for i, ni in enumerate(n):
+            gc, gs = golden.cordic_dds48(int(ni), pw, 20)
+            assert int(c[i]) == gc and int(s[i]) == gs, ni
+
+    def test_pw32_fails_loudly(self):
+        import jax.numpy as jnp
+
+        from blackman_harris_win_tpu.kernels.pallas.cordic_wide import (
+            cordic_hls_i32,
+        )
+        from blackman_harris_win_tpu.kernels.pallas.window_kernel import (
+            window_values,
+        )
+
+        with pytest.raises(ValueError, match="<= 31"):
+            cordic_hls_i32(jnp.arange(4), 32, 16)
+        with pytest.raises(ValueError, match="<= 31"):
+            window_values(jnp.arange(4, dtype=jnp.int32),
+                          catalog.get("bh7").quantized(32),
+                          WindowSpec(32, 32, overflow="wrap"))
