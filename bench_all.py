@@ -736,6 +736,45 @@ def main():
                         t, int_ops=reps16 * (1 << pw6) * (aw_a - 1) * 8)})
         _emit(out)
 
+    # --- config 21: DDC (round 5) — dds48 NCO + integer I/Q mixer +
+    #     decimating FIR, 64M input samples in one dispatch (the CORDIC
+    #     in its titular DDS role, src/cordic_dds48.vhd:9-14) ---
+    from blackman_harris_win_tpu.pipeline.ddc import MIX_IN_BITS, ddc
+    from blackman_harris_win_tpu.pipeline.fir import design_lowpass
+
+    t21 = 1 << 26
+    dec21 = 4
+    h21 = design_lowpass(64, 0.8 / dec21)
+    x21 = jax.jit(lambda: jax.random.normal(
+        jax.random.PRNGKey(21), (t21,), jnp.float32))()
+
+    @jax.jit
+    def ddc_sum(xv):
+        bb = ddc(xv, 1 / 8, dec21, taps=h21)
+        return jnp.sum(bb * bb)
+
+    # correctness gate: a tone at fc+df lands at df in baseband
+    fc_t, df_t = 1 / 8, 1 / 256
+    xt = np.cos(2 * np.pi * (fc_t + df_t)
+                * np.arange(16384)).astype(np.float32)
+    bb_t = np.asarray(jax.jit(
+        lambda v: ddc(v, fc_t, dec21, taps=h21))(jnp.asarray(xt)))
+    zt = (bb_t[0].astype(np.float64) + 1j * bb_t[1])[16:-16]
+    f_meas = float(np.mean(np.diff(np.unwrap(np.angle(zt))))
+                   / (2 * np.pi * dec21))
+    assert abs(f_meas - df_t) < 1e-4, f_meas
+
+    t = _sync_time(lambda: ddc_sum(x21))
+    v21 = t21 / t / 1e6
+    # op model: dds48 two-limb (48-bit state, 16 xy iters x ~22 ops) + 2
+    # integer mixer products + the FIR (MXU, not in the VPU count)
+    out.append({"metric": "ddc_dds48_64M_decim4", "value": round(v21, 1),
+                "unit": "Msamples/s_in", "vs_fpga_400": round(v21 / 400, 2),
+                "mix_in_bits": MIX_IN_BITS,
+                **roofline_fields(
+                    t, int_ops=t21 * (16 * 22 + 2 + 4))})
+    _emit(out)
+
     # --- closing regime calibration: same kernel as the opening one ---
     t = _sync_time(lambda: gen_regime(jnp.int32(0)))
     ref_end = reps_ref * (1 << pw6) / t / 1e6
