@@ -422,3 +422,42 @@ class TestPw31Ceiling:
             window_values(jnp.arange(4, dtype=jnp.int32),
                           catalog.get("bh7").quantized(32),
                           WindowSpec(32, 32, overflow="wrap"))
+
+
+class TestPw31MoreEngines:
+    """pw=31 coverage for the remaining engines (dds/scaled/cmodel wide
+    paths + the taylor ROM path)."""
+
+    def test_dds_and_scaled_and_cmodel(self):
+        from blackman_harris_win_tpu.kernels.pallas.cordic_wide import (
+            cordic_cmodel_i32,
+            cordic_dds_i32,
+            cordic_scaled_i32,
+        )
+
+        pw = 31
+        seam = (1 << (pw - 1)) - 4 + np.arange(8, dtype=np.int64)
+        n = np.concatenate([[0, 1], seam, [(1 << pw) - 1]])
+        c, s = cordic_dds_i32(n.astype(np.int32), pw, 32, p=2)
+        for i, ni in enumerate(n):
+            gc, gs = golden.cordic_dds(int(ni), pw, 32, precision=2)
+            assert int(c[i]) == gc and int(s[i]) == gs, ni
+        c, s = cordic_scaled_i32(n.astype(np.int32), pw, 24)
+        for i, ni in enumerate(n):
+            gc, gs = golden.cordic_scaled(int(ni), pw, 24)
+            assert int(c[i]) == gc and int(s[i]) == gs, ni
+        c, s = cordic_cmodel_i32(n.astype(np.int32), pw, 16)
+        for i, ni in enumerate(n):
+            gc, gs = golden.cordic_cmodel(int(ni), pw, 16)
+            assert int(c[i]) == gc and int(s[i]) == gs, ni
+
+    def test_taylor_pw31(self):
+        from blackman_harris_win_tpu.kernels import taylor as kt
+
+        pw, w, ls = 31, 16, 10
+        seam = (1 << (pw - 2)) - 4 + np.arange(8, dtype=np.int64)
+        n = np.concatenate([[0, 1], seam, [(1 << pw) - 1]])
+        c, s = kt.taylor_sincos(n.astype(np.int32), pw, w, ls)
+        for i, ni in enumerate(n):
+            gc, gs = golden.taylor_sincos(int(ni), pw, w, ls)
+            assert int(c[i]) == gc and int(s[i]) == gs, ni
