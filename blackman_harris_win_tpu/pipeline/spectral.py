@@ -168,24 +168,14 @@ def _dft_tables(nfft: int):
     return radices, mats, tws
 
 
-def _mxu_packed_mean_power(fr):
-    """The fft_mode="mxu" body: two real frames per complex input, matmul
-    DFT stages, power-only unpack via conjugate symmetry."""
-    nfft = fr.shape[-1]
-    nf = fr.shape[-2]
+def _mxu_stages(xr, xi, nfft: int, nlead: int):
+    """Run the mixed-radix matmul DFT stages over the trailing radix axes
+    of (lead..., r_0, .., r_{ns-1}) real/imag arrays.  On return, axis
+    nlead+i indexes output digit k_i with bin k = k_0 + r_0*k_1 + ..."""
     radices, mats_np, tws_np = _dft_tables(nfft)
     mats = [tuple(jnp.asarray(v) for v in m) for m in mats_np]
     tws = [tuple(jnp.asarray(v) for v in t) for t in tws_np]
     hi = lax.Precision.HIGHEST
-
-    if nf % 2:
-        pad = [(0, 0)] * (fr.ndim - 2) + [(0, 1), (0, 0)]
-        fr = jnp.pad(fr, pad)
-    lead = fr.shape[:-2]
-    npair = fr.shape[-2] // 2
-    xr = fr[..., 0::2, :].reshape(lead + (npair,) + radices)
-    xi = fr[..., 1::2, :].reshape(lead + (npair,) + radices)
-    nlead = len(lead) + 1
 
     ns = len(radices)
     for s_i, r in enumerate(radices):
@@ -212,6 +202,44 @@ def _mxu_packed_mean_power(fr):
                     a * twi.reshape(shape) + b * twr.reshape(shape))
             xr = a.reshape(xr.shape)
             xi = b.reshape(xi.shape)
+    return xr, xi, radices
+
+
+def mxu_cfft(zr, zi):
+    """Complex FFT over the last axis through MXU matmul DFT stages,
+    natural bin order: (..., M) real/imag f32 -> (..., M) real/imag f32.
+    M must satisfy :func:`_mxu_radices` (power of two >= 256)."""
+    m = zr.shape[-1]
+    radices = _mxu_radices(m)
+    lead = zr.shape[:-1]
+    nl = len(lead)
+    xr = zr.reshape(lead + radices)
+    xi = zi.reshape(lead + radices)
+    xr, xi, _ = _mxu_stages(xr, xi, m, nl)
+    ns = len(radices)
+    perm = tuple(range(nl)) + tuple(nl + i for i in reversed(range(ns)))
+    return (jnp.transpose(xr, perm).reshape(lead + (m,)),
+            jnp.transpose(xi, perm).reshape(lead + (m,)))
+
+
+def _mxu_packed_mean_power(fr):
+    """The fft_mode="mxu" body: two real frames per complex input, matmul
+    DFT stages, power-only unpack via conjugate symmetry."""
+    nfft = fr.shape[-1]
+    nf = fr.shape[-2]
+    radices = _mxu_radices(nfft)
+
+    if nf % 2:
+        pad = [(0, 0)] * (fr.ndim - 2) + [(0, 1), (0, 0)]
+        fr = jnp.pad(fr, pad)
+    lead = fr.shape[:-2]
+    npair = fr.shape[-2] // 2
+    xr = fr[..., 0::2, :].reshape(lead + (npair,) + radices)
+    xi = fr[..., 1::2, :].reshape(lead + (npair,) + radices)
+    nlead = len(lead) + 1
+
+    xr, xi, radices = _mxu_stages(xr, xi, nfft, nlead)
+    ns = len(radices)
 
     p = jnp.sum(xr * xr + xi * xi, axis=nlead - 1)  # sum over frame pairs
     # axes now lead + (k_0, .., k_{ns-1}) with bin k = k_0 + r_0*k_1 + ..:
@@ -227,7 +255,7 @@ def _mxu_packed_mean_power(fr):
     return ps / nf
 
 
-def rfft_power_split(x):
+def rfft_power_split(x, fft_mode: str = "rfft"):
     """``|rfft(x)|**2`` computed through ONE half-length complex FFT.
 
     The classic even/odd split: z[m] = x[2m] + j x[2m+1] (length N/2),
@@ -240,13 +268,22 @@ def rfft_power_split(x):
     pi*k/(N/2) carries k/(N/2) at f32 precision), comparable to the f32
     FFT's own rounding — fine for power spectra, not for phase-critical
     use.  x: (..., N) float32, N even; returns (..., N//2+1) f32.
+
+    ``fft_mode``: backend for the half-length CFFT — "rfft" (misnomer
+    here: XLA's plain cfft; kept for the probe record — it LOSES 29x on
+    huge monolithic frames, BENCH_NOTES round 5) or "mxu" (the matmul
+    DFT stages, the useful single-huge-frame configuration).
     """
     n = x.shape[-1]
     if n % 2:
         raise ValueError("rfft_power_split needs an even length")
     m = n // 2
-    z = jax.lax.complex(x[..., 0::2], x[..., 1::2])
-    zf = jnp.fft.fft(z, axis=-1)
+    if fft_mode == "mxu":
+        zfr, zfi = mxu_cfft(x[..., 0::2], x[..., 1::2])
+        zf = jax.lax.complex(zfr, zfi)
+    else:
+        z = jax.lax.complex(x[..., 0::2], x[..., 1::2])
+        zf = jnp.fft.fft(z, axis=-1)
     zrc = jnp.conj(jnp.concatenate(
         [zf[..., :1], jnp.flip(zf[..., 1:], axis=-1)], axis=-1))  # Z*(-k)
     e = 0.5 * (zf + zrc)

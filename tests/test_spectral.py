@@ -355,3 +355,28 @@ class TestMxuFft:
             x, "bh4", spec, fft_mode="mxu"), np.float64)
         rel = np.max(np.abs(a - b) / (np.abs(a).max() + 1e-300))
         assert rel < 2e-6, rel
+
+
+class TestMxuCfft:
+    def test_complex_fft_natural_order(self):
+        from blackman_harris_win_tpu.pipeline.spectral import mxu_cfft
+
+        rng = np.random.default_rng(9)
+        for m in (256, 1024):
+            z = (rng.normal(size=(2, m)) + 1j * rng.normal(size=(2, m))
+                 ).astype(np.complex64)
+            xr, xi = mxu_cfft(jnp.asarray(z.real), jnp.asarray(z.imag))
+            got = np.asarray(xr, np.float64) + 1j * np.asarray(xi, np.float64)
+            ref = np.fft.fft(z.astype(np.complex128), axis=-1)
+            rel = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
+            assert rel < 2e-6, (m, rel)
+
+    def test_rfft_power_split_mxu(self):
+        from blackman_harris_win_tpu.pipeline.spectral import rfft_power_split
+
+        rng = np.random.default_rng(10)
+        x = rng.normal(size=(2, 2048)).astype(np.float32)
+        got = np.asarray(rfft_power_split(jnp.asarray(x), "mxu"), np.float64)
+        ref = np.abs(np.fft.rfft(x.astype(np.float64), axis=-1)) ** 2
+        rel = np.max(np.abs(got - ref) / (ref.max() + 1e-300))
+        assert rel < 2e-6, rel
