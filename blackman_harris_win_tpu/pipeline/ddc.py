@@ -106,16 +106,18 @@ def ddc(x, freq: float, decim: int, taps=64, phase_width: int = 20,
     n = n0 + jnp.arange(t, dtype=jnp.int32)
     mi, mq = mix_iq_int(xq, n, fw, phase_width, data_width, flavor)
     scale = jnp.float32(1.0 / (amp_in * (1 << (data_width - 2))))
-    # align like the sharded variant: tap window *ends* at the output
-    # sample (causal); wrap the head circularly so T/decim outputs come out
+    m2 = jnp.stack([mi, mq]).astype(jnp.float32) * scale  # (2, ..., T)
+    # Causal circular alignment (matches the sharded variant): the tap
+    # window *ends* at the output sample, the head wraps.  The main conv
+    # runs on the UNPADDED length-T stream (XLA's conv picks a ~3x slower
+    # algorithm for T + halo inputs at bulk sizes — trace in BENCH_NOTES
+    # round 5); the halo//decim wrapped outputs come from a tiny separate
+    # segment.
     halo = len(h) - decim
-    mif = mi.astype(jnp.float32) * scale
-    mqf = mq.astype(jnp.float32) * scale
-    mif = jnp.concatenate([mif[..., t - halo:], mif], axis=-1)
-    mqf = jnp.concatenate([mqf[..., t - halo:], mqf], axis=-1)
-    bi = decimating_fir(mif, h, decim)
-    bq = decimating_fir(mqf, h, decim)
-    return jnp.stack([bi, bq])
+    body = decimating_fir(m2, h, decim)  # y[m] for m >= halo//decim
+    seg = jnp.concatenate([m2[..., t - halo:], m2[..., :halo]], axis=-1)
+    wrap = decimating_fir(seg, h, decim)  # y[0 .. halo//decim)
+    return jnp.concatenate([wrap, body], axis=-1)
 
 
 def make_sharded_ddc(mesh: Mesh, phase_width: int, data_width: int,
