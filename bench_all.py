@@ -301,6 +301,28 @@ def main():
                 **roofline_fields(t, bytes_moved=28 * n7)})
     _emit(out)
 
+    # --- config 7b: the same fused spectrum amortized (4 reps
+    #     in-dispatch; the single-dispatch line above is ~50%% dispatch
+    #     floor).  Single huge frames keep XLA's rfft: every alternative
+    #     probed loses (BENCH_NOTES round 5 -- monolithic cfft 34x,
+    #     mxu-split 43x on minor-axis strided slices). ---
+    @jax.jit
+    def fused_amort(xv):
+        def body(acc, i):
+            xr = jnp.roll(xv, i)
+            wq = window_block_outer(0, n7 >> m6, q6, spec6, m=m6)
+            xw_ = xr * (wq.astype(jnp.float32) * jnp.float32(sc7))
+            return acc + jnp.sum(jnp.abs(jnp.fft.rfft(xw_)) ** 2), None
+
+        s_, _ = jax.lax.scan(body, jnp.float32(0),
+                             jnp.arange(4, dtype=jnp.int32))
+        return s_
+
+    t = _sync_time(lambda: fused_amort(x7)) / 4
+    out.append({"metric": "fused_gen_fft_64M_amortized",
+                "value": round(n7 / t / 1e6, 1), "unit": "Msamples/s_in"})
+    _emit(out)
+
     # --- config 8: BH-7 64M @ W=32, RTL (VHDL) rounding contract ---
     from blackman_harris_win_tpu.model import native
 

@@ -161,10 +161,19 @@ def _dft_tables(nfft: int):
             for rr in radices[s_i:]:
                 nt *= rr
             rest = nt // r
-            ii, jj = np.arange(r), np.arange(rest)
-            ang = -2.0 * np.pi * (ii[:, None] * jj[None, :] % nt) / nt
-            tws.append((np.cos(ang).astype(np.float32),
-                        np.sin(ang).astype(np.float32)))
+            if r * rest > (1 << 22):
+                # huge tables would ship as program constants (the
+                # remote-compile payload rejects them, HTTP 413); build
+                # on device instead (_mxu_stages).  i*j < nt <= 2^31 so
+                # the int32 product is exact; the f32 angle carries the
+                # index at ~2 ulp -> twiddle error ~4e-7, fine for power
+                # spectra.
+                tws.append(nt)
+            else:
+                ii, jj = np.arange(r), np.arange(rest)
+                ang = -2.0 * np.pi * (ii[:, None] * jj[None, :] % nt) / nt
+                tws.append((np.cos(ang).astype(np.float32),
+                            np.sin(ang).astype(np.float32)))
     return radices, mats, tws
 
 
@@ -174,7 +183,6 @@ def _mxu_stages(xr, xi, nfft: int, nlead: int):
     nlead+i indexes output digit k_i with bin k = k_0 + r_0*k_1 + ..."""
     radices, mats_np, tws_np = _dft_tables(nfft)
     mats = [tuple(jnp.asarray(v) for v in m) for m in mats_np]
-    tws = [tuple(jnp.asarray(v) for v in t) for t in tws_np]
     hi = lax.Precision.HIGHEST
 
     ns = len(radices)
@@ -191,10 +199,19 @@ def _mxu_stages(xr, xi, nfft: int, nlead: int):
         xr = jnp.transpose(yr, perm)
         xi = jnp.transpose(yi, perm)
         if s_i < ns - 1:
-            twr, twi = tws[s_i]
             rest = 1
             for rr in radices[s_i + 1:]:
                 rest *= rr
+            tw = tws_np[s_i]
+            if isinstance(tw, int):  # big table: build on device (iota)
+                nt = tw
+                ii = lax.broadcasted_iota(jnp.int32, (r, rest), 0)
+                jj = lax.broadcasted_iota(jnp.int32, (r, rest), 1)
+                ang = (ii * jj).astype(jnp.float32) * jnp.float32(
+                    -2.0 * np.pi / nt)
+                twr, twi = jnp.cos(ang), jnp.sin(ang)
+            else:
+                twr, twi = (jnp.asarray(v) for v in tw)
             shape = (1,) * (nlead + s_i) + (r, rest)
             a = xr.reshape(xr.shape[: nlead + s_i] + (r, rest))
             b = xi.reshape(xi.shape[: nlead + s_i] + (r, rest))
