@@ -282,6 +282,7 @@ def cmd_spectrum(args) -> int:
     p = windowed_power_spectrum(
         jnp.asarray(x, jnp.float32), args.window, spec, hop=hop,
         win_mode=getattr(args, "win_mode", "quantized"),
+        fft_mode=getattr(args, "fft_mode", "rfft"),
     )
     p = np.asarray(p)
     if args.out:
@@ -289,6 +290,31 @@ def cmd_spectrum(args) -> int:
         print(f"wrote spectrum {p.shape} to {args.out}")
     else:
         np.savetxt(sys.stdout, 10.0 * np.log10(np.maximum(p, 1e-300)))
+    return 0
+
+
+def cmd_ddc(args) -> int:
+    """Digital downconverter: CORDIC NCO + integer I/Q mixer + decimating
+    FIR (pipeline/ddc.py) — translate a band to baseband and decimate."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from .pipeline.ddc import ddc
+
+    x = _load_real_signal(args, np, min_len=args.decim)
+    t = len(x) - len(x) % args.decim
+    x = x[:t]
+    bb = np.asarray(ddc(
+        jnp.asarray(x, jnp.float32), args.freq, args.decim,
+        taps=args.taps, phase_width=args.phase_width,
+        data_width=args.data_width, cutoff=args.cutoff,
+        window=args.window, flavor=args.flavor,
+    ))
+    if args.out:
+        np.save(args.out, bb)
+        print(f"wrote baseband I/Q {bb.shape} to {args.out}")
+    else:
+        np.savetxt(sys.stdout, bb.T, fmt="%.6g", header="I Q")
     return 0
 
 
@@ -442,6 +468,12 @@ def main(argv=None) -> int:
     p.add_argument("--count", type=int, default=0,
                    help="raw samples to read (default: to end of file)")
     p.add_argument("--hop", type=int, default=0, help="frame hop (default nfft/2)")
+    p.add_argument("--fft-mode", choices=("rfft", "packed", "mxu"),
+                   default="rfft",
+                   help="FFT backend: rfft = XLA; packed = two real "
+                        "frames per complex FFT; mxu = matmul-DFT stages "
+                        "(1.3x on-chip for multi-frame analysis at "
+                        "nfft >= 256, BENCH_NOTES round 5)")
     p.add_argument("--win-mode", choices=("quantized", "float", "comp"),
                    default="quantized",
                    help="quantized = reference integer window datapath; "
@@ -451,6 +483,38 @@ def main(argv=None) -> int:
                         "kernels/compwin.py)")
     p.add_argument("--out", help="output spectrum .npy (default: dB to stdout)")
     p.set_defaults(fn=cmd_spectrum)
+
+    p = sub.add_parser(
+        "ddc",
+        help="digital downconverter: NCO mix to baseband + decimate "
+             "(the CORDIC in its DDS role, src/cordic_dds48.vhd:9-14)",
+    )
+    p.add_argument("--input", required=True,
+                   help="input signal (.npy, or raw with --format)")
+    p.add_argument("--format", choices=("npy", "i8", "i16", "f32", "ci16"),
+                   default="npy")
+    p.add_argument("--scale", type=float, default=1.0)
+    p.add_argument("--offset", type=int, default=0)
+    p.add_argument("--count", type=int, default=0)
+    p.add_argument("--freq", type=float, required=True,
+                   help="NCO frequency in cycles/sample (0..1)")
+    p.add_argument("--decim", type=int, default=4)
+    p.add_argument("--taps", type=int, default=64,
+                   help="lowpass prototype length")
+    p.add_argument("--cutoff", type=float, default=None,
+                   help="passband edge as fraction of input Nyquist "
+                        "(default 0.8/decim)")
+    p.add_argument("--window", default="bh4",
+                   help="window weighting the FIR prototype")
+    p.add_argument("--phase-width", type=int, default=20,
+                   help="NCO phase accumulator bits")
+    p.add_argument("--data-width", type=int, default=16,
+                   help="NCO amplitude bits (mixer product must fit "
+                        "int32 lanes: <= 17)")
+    p.add_argument("--flavor", choices=("dds48", "scaled"),
+                   default="dds48", help="NCO CORDIC flavor")
+    p.add_argument("--out", help="output (2, T/decim) I/Q .npy")
+    p.set_defaults(fn=cmd_ddc)
 
     p = sub.add_parser(
         "stft",

@@ -280,3 +280,39 @@ def test_gen_taylor_source_bit_exact(tmp_path):
                       overflow="wrap")
     want = np.asarray(window_samples(np.arange(2048), q, spec))
     np.testing.assert_array_equal(w, want)
+
+
+def test_ddc_subcommand(tmp_path, capsys):
+    import numpy as np
+
+    fc, df, dec = 1 / 8, 1 / 256, 4
+    x = np.cos(2 * np.pi * (fc + df) * np.arange(8192)).astype(np.float32)
+    inp = tmp_path / "x.npy"
+    np.save(inp, x)
+    out = tmp_path / "bb.npy"
+    rc = main(["ddc", "--input", str(inp), "--freq", str(fc),
+               "--decim", str(dec), "--out", str(out)])
+    assert rc == 0
+    bb = np.load(out)
+    assert bb.shape == (2, 8192 // dec)
+    z = (bb[0].astype(np.float64) + 1j * bb[1])[16:-16]
+    f_meas = np.mean(np.diff(np.unwrap(np.angle(z)))) / (2 * np.pi * dec)
+    assert abs(f_meas - df) < 1e-4
+
+
+def test_spectrum_fft_mode_mxu(tmp_path, capsys):
+    import numpy as np
+
+    x = np.sin(2 * np.pi * 0.1 * np.arange(4096)).astype(np.float32)
+    inp = tmp_path / "x.npy"
+    np.save(inp, x)
+    outs = {}
+    for mode in ("rfft", "mxu"):
+        out = tmp_path / f"p_{mode}.npy"
+        rc = main(["spectrum", "bh4", "--input", str(inp),
+                   "--phase-width", "9", "--fft-mode", mode,
+                   "--out", str(out)])
+        assert rc == 0
+        outs[mode] = np.load(out)
+    a, b = outs["rfft"].astype(np.float64), outs["mxu"].astype(np.float64)
+    assert np.max(np.abs(a - b) / (np.abs(a).max() + 1e-300)) < 2e-6
