@@ -144,7 +144,11 @@ def cordic_hls(phase, spec: CordicSpec):
     q = (un >> (pw - 2)).astype(dt)
     # init_t = signed(phi) & ~(3 << (pw-2)) at full phase width (see
     # model/golden.py cordic_hls for the ap_int<W+2> deviation note):
-    sphi = jnp.where(un >> (pw - 1) != 0, un - (1 << pw), un)
+    # -2^pw as a dtype-safe constant: at pw == 31 on an int32 carrier the
+    # Python literal 2^31 overflows argument parsing (the value -2^31 is
+    # representable; the +2^31 intermediate is not)
+    sphi = jnp.where(un >> (pw - 1) != 0,
+                     un + jnp.asarray(-(1 << pw), un.dtype), un)
     init_t = sphi & ~(0x3 << (pw - 2))
     wrap_iw_ph = _wrapper(iw, jnp.iinfo(dt_ph).bits)
     if pw - 1 < w:
@@ -230,7 +234,8 @@ def _prerotated_inputs(un, pw, gain, dt, wrap_xy):
     (src/cordic_dds48.vhd:172-216)."""
     q = un >> (pw - 2)
     low = un & ((1 << (pw - 2)) - 1)
-    sphi = jnp.where(un >> (pw - 1) != 0, un - (1 << pw), un)
+    sphi = jnp.where(un >> (pw - 1) != 0,
+                     un + jnp.asarray(-(1 << pw), un.dtype), un)
     init_t = jnp.where(
         (q == 0) | (q == 3), sphi, jnp.where(q == 1, low, low - (1 << (pw - 2)))
     )

@@ -180,7 +180,15 @@ def _dft_tables(nfft: int):
 def _mxu_stages(xr, xi, nfft: int, nlead: int):
     """Run the mixed-radix matmul DFT stages over the trailing radix axes
     of (lead..., r_0, .., r_{ns-1}) real/imag arrays.  On return, axis
-    nlead+i indexes output digit k_i with bin k = k_0 + r_0*k_1 + ..."""
+    nlead+i indexes output digit k_i with bin k = k_0 + r_0*k_1 + ...
+
+    Transpose-free formulation: tensordot appends the contracted-output
+    axis, so stage s always contracts the FIRST remaining sample axis
+    (position ``nlead``) and the k axes accumulate at the tail in stage
+    order — no inter-stage data transposes (the naive
+    restore-axis-position version spent ~2 big c64 transposes per
+    transform).  Twiddles broadcast as (rest..., 1*s, r_s) to match the
+    shifted layout."""
     radices, mats_np, tws_np = _dft_tables(nfft)
     mats = [tuple(jnp.asarray(v) for v in m) for m in mats_np]
     hi = lax.Precision.HIGHEST
@@ -188,19 +196,17 @@ def _mxu_stages(xr, xi, nfft: int, nlead: int):
     ns = len(radices)
     for s_i, r in enumerate(radices):
         mr, mi = mats[s_i]
-        ax = nlead + s_i
-        yr = (jnp.tensordot(xr, mr, axes=[[ax], [1]], precision=hi)
-              - jnp.tensordot(xi, mi, axes=[[ax], [1]], precision=hi))
-        yi = (jnp.tensordot(xr, mi, axes=[[ax], [1]], precision=hi)
-              + jnp.tensordot(xi, mr, axes=[[ax], [1]], precision=hi))
-        # tensordot appends the contracted-output axis; restore position
-        perm = list(range(xr.ndim - 1))
-        perm.insert(ax, xr.ndim - 1)
-        xr = jnp.transpose(yr, perm)
-        xi = jnp.transpose(yi, perm)
+        # axes: (lead..., n_{s}, .., n_{ns-1}, k_0, .., k_{s-1});
+        # contract n_s at position nlead, its k_s lands at the end
+        yr = (jnp.tensordot(xr, mr, axes=[[nlead], [1]], precision=hi)
+              - jnp.tensordot(xi, mi, axes=[[nlead], [1]], precision=hi))
+        yi = (jnp.tensordot(xr, mi, axes=[[nlead], [1]], precision=hi)
+              + jnp.tensordot(xi, mr, axes=[[nlead], [1]], precision=hi))
+        xr, xi = yr, yi
         if s_i < ns - 1:
+            rest_dims = tuple(radices[s_i + 1:])
             rest = 1
-            for rr in radices[s_i + 1:]:
+            for rr in rest_dims:
                 rest *= rr
             tw = tws_np[s_i]
             if isinstance(tw, int):  # big table: build on device (iota)
@@ -212,13 +218,14 @@ def _mxu_stages(xr, xi, nfft: int, nlead: int):
                 twr, twi = jnp.cos(ang), jnp.sin(ang)
             else:
                 twr, twi = (jnp.asarray(v) for v in tw)
-            shape = (1,) * (nlead + s_i) + (r, rest)
-            a = xr.reshape(xr.shape[: nlead + s_i] + (r, rest))
-            b = xi.reshape(xi.shape[: nlead + s_i] + (r, rest))
-            a, b = (a * twr.reshape(shape) - b * twi.reshape(shape),
-                    a * twi.reshape(shape) + b * twr.reshape(shape))
-            xr = a.reshape(xr.shape)
-            xi = b.reshape(xi.shape)
+            # table is (k_s, rest); the array layout here is
+            # (lead, rest_dims..., k_0..k_{s-1}, k_s) -> broadcast the
+            # TRANSPOSED table as (1..., rest_dims..., 1*s, r)
+            shape = (1,) * nlead + rest_dims + (1,) * s_i + (r,)
+            twr = twr.T.reshape(shape)
+            twi = twi.T.reshape(shape)
+            xr, xi = (xr * twr - xi * twi, xr * twi + xi * twr)
+    # axes now (lead..., k_0, .., k_{ns-1}) — same contract as before
     return xr, xi, radices
 
 

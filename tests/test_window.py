@@ -461,3 +461,23 @@ class TestPw31MoreEngines:
         for i, ni in enumerate(n):
             gc, gs = golden.taylor_sincos(int(ni), pw, w, ls)
             assert int(c[i]) == gc and int(s[i]) == gs, ni
+
+
+class TestPw31NarrowNoX64:
+    def test_narrow_w_int32_carrier(self):
+        """pw=31 with a NARROW data width takes the jnp flavor path on an
+        int32 carrier (not the wide i32 kernels); the -2^31 signed-phase
+        constant must not overflow argument parsing (caught by the
+        round-5 dryrun; fixed in kernels/cordic.py)."""
+        import jax
+
+        pw, w = 31, 17
+        q = catalog.get("bh7").quantized(w)
+        spec = WindowSpec(pw, w, overflow="wrap")
+        seam = (1 << (pw - 1)) - 4 + np.arange(8, dtype=np.int64)
+        with jax.enable_x64(False):
+            got = np.asarray(kw.window_samples(
+                seam.astype(np.int32), q, spec)).astype(np.int64)
+        for i, ni in enumerate(seam):
+            assert int(got[i]) == golden.win_cosine_sum_hls(
+                int(ni), q, pw, w), ni
