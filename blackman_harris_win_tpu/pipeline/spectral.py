@@ -90,8 +90,71 @@ def welch_power(x, win, nfft: int, hop: int, fft_mode: str = "rfft"):
     = (|Z(k)|^2 + |Z(-k)|^2) / 2 — no complex unpack arithmetic at all,
     just the power spectrum of Z read forwards and backwards.
     """
+    if (fft_mode == "mxu" and hop * 2 == nfft and x.ndim == 1
+            and x.shape[-1] % hop == 0 and x.shape[-1] >= nfft
+            and _fused_ok(nfft) and jax.default_backend() == "tpu"):
+        # Pallas-fused front half: framing + window + pack + stage 1 in
+        # one kernel (reads x once) — 2.1x the rfft analyzer on chip vs
+        # 1.3x for the unfused matmul stages (BENCH_NOTES round 5)
+        return _mxu_fused_mean_power(x, win, nfft)
     fr = frames_view(x, nfft, hop) * win
     return frame_mean_power(fr, fft_mode)
+
+
+def _fused_ok(nfft: int) -> bool:
+    try:
+        radices = _mxu_radices(nfft)
+    except ValueError:
+        return False
+    return radices[0] == 128 and len(radices) >= 2
+
+
+def _mxu_fused_mean_power(x, win, nfft: int, interpret: bool = False):
+    """welch mean power via the Pallas stage-1 kernel + tensordot tail."""
+    from ..kernels.pallas.welchfft_kernel import welch_stage1_fused
+
+    radices, mats_np, tws_np = _dft_tables(nfft)
+    r0 = radices[0]
+    xr, xi, nf = welch_stage1_fused(x, win, nfft, r0=r0,
+                                    interpret=interpret)
+    npair = xr.shape[0]
+    hi = lax.Precision.HIGHEST
+    xr = xr.reshape((npair, r0) + radices[1:])
+    xi = xi.reshape((npair, r0) + radices[1:])
+    ns = len(radices)
+    for s in range(1, ns):
+        mr, mi = (jnp.asarray(v) for v in mats_np[s])
+        # contract the first remaining sample axis (always axis 2); the
+        # output digit k_s lands at the tail
+        yr = (jnp.tensordot(xr, mr, axes=[[2], [1]], precision=hi)
+              - jnp.tensordot(xi, mi, axes=[[2], [1]], precision=hi))
+        yi = (jnp.tensordot(xr, mi, axes=[[2], [1]], precision=hi)
+              + jnp.tensordot(xi, mr, axes=[[2], [1]], precision=hi))
+        xr, xi = yr, yi
+        if s < ns - 1:
+            rest_dims = tuple(radices[s + 1:])
+            rest = 1
+            for rr in rest_dims:
+                rest *= rr
+            tw = tws_np[s]
+            if isinstance(tw, int):
+                nt = tw
+                ii = lax.broadcasted_iota(jnp.int32, (radices[s], rest), 0)
+                jj = lax.broadcasted_iota(jnp.int32, (radices[s], rest), 1)
+                ang = (ii * jj).astype(jnp.float32) * jnp.float32(
+                    -2.0 * np.pi / nt)
+                twr, twi = jnp.cos(ang), jnp.sin(ang)
+            else:
+                twr, twi = (jnp.asarray(v) for v in tw)
+            shape = (1, 1) + rest_dims + (1,) * (s - 1) + (radices[s],)
+            twr = twr.T.reshape(shape)
+            twi = twi.T.reshape(shape)
+            xr, xi = (xr * twr - xi * twi, xr * twi + xi * twr)
+    p = jnp.sum(xr * xr + xi * xi, axis=0)  # (k_0, .., k_{ns-1})
+    pk = jnp.transpose(p, tuple(reversed(range(ns)))).reshape(nfft)
+    k = nfft // 2 + 1
+    pk_rev = jnp.concatenate([pk[:1], jnp.flip(pk[1:])])
+    return 0.5 * (pk[:k] + pk_rev[:k]) / nf
 
 
 def frame_mean_power(fr, fft_mode: str = "rfft"):

@@ -380,3 +380,42 @@ class TestMxuCfft:
         ref = np.abs(np.fft.rfft(x.astype(np.float64), axis=-1)) ** 2
         rel = np.max(np.abs(got - ref) / (ref.max() + 1e-300))
         assert rel < 2e-6, rel
+
+
+class TestPallasFusedWelch:
+    """Round-5 Pallas-fused Welch front half (framing + window + pack +
+    DFT stage 1 in one kernel; 2.1x the rfft analyzer on chip)."""
+
+    def _check(self, t_frames, nfft=1 << 19):
+        from blackman_harris_win_tpu.pipeline.spectral import (
+            _mxu_fused_mean_power, welch_power,
+        )
+
+        hop = nfft // 2
+        t = hop * t_frames + hop  # nf = t_frames
+        rng = np.random.default_rng(13)
+        x = rng.normal(size=(t,)).astype(np.float32)
+        win = np.hanning(nfft).astype(np.float32)
+        got = np.asarray(_mxu_fused_mean_power(
+            jnp.asarray(x), jnp.asarray(win), nfft, interpret=True),
+            np.float64)
+        want = np.asarray(welch_power(x, win, nfft, hop, "rfft"),
+                          np.float64)
+        rel = np.max(np.abs(got - want) / (np.abs(want).max() + 1e-300))
+        assert rel < 1e-5, (t_frames, rel)
+
+    def test_odd_frame_count(self):
+        self._check(5)  # pad frame masked in-kernel
+
+    def test_even_frame_count(self):
+        self._check(4)
+
+    def test_eligibility_gate(self):
+        from blackman_harris_win_tpu.pipeline.spectral import _fused_ok
+
+        from blackman_harris_win_tpu.pipeline.spectral import _mxu_radices
+
+        assert _fused_ok(1 << 20)  # (128, 128, 64)
+        assert _mxu_radices(1 << 19)[0] == 128 and _fused_ok(1 << 19)
+        assert not _fused_ok(1 << 18)  # (64, 64, 64): r0 != 128
+        assert not _fused_ok(128)  # below the mxu floor
